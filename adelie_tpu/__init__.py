@@ -1,0 +1,43 @@
+"""adelie_tpu — a TPU-native group elastic net framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capability surface of the
+reference ``adelie`` package (group lasso / elastic net path solver with
+BASIL screening, GLM proximal Newton, structured matrices, constraints,
+CV, diagnostics), built TPU-first:
+
+* the screen-set inner solver runs in covariance form against an
+  MXU-computed Gram (see ``adelie_tpu/solver/pin.py``),
+* all O(n)/O(p) work is a handful of large sharded matmuls per lambda,
+* dynamic screen/active sets are fixed-capacity masked device buffers,
+* scaling is via ``jax.sharding`` meshes (see ``adelie_tpu/parallel``),
+  not threads.
+"""
+
+__version__ = "0.1.0"
+
+from . import bcd
+from . import configs as _configs_mod
+from . import glm
+from . import matrix
+from .configs import set_configs
+from .logger import logger, logger_level
+
+# imported lazily by users that need them; kept as namespaces here
+from . import data  # noqa: E402
+from . import solver  # noqa: E402
+from .solver import grpnet, gaussian_cov  # noqa: E402
+
+
+def __getattr__(name):
+    # lazy subpackages to keep import light
+    if name in ("constraint", "cv", "diagnostic", "io", "sklearn", "state", "parallel"):
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    if name == "cv_grpnet":
+        from .cv import cv_grpnet
+
+        return cv_grpnet
+    raise AttributeError(f"module 'adelie_tpu' has no attribute {name!r}")

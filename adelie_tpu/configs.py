@@ -1,0 +1,55 @@
+"""Global configuration for adelie_tpu.
+
+TPU-native re-design of the reference's process-wide ``Configs`` statics
+(reference: adelie/src/include/adelie_core/configs.hpp:6-21 and
+adelie/configs.py:4-27).  Unlike the reference (mutable C++ statics), this is a
+plain Python dataclass singleton; solver entry points read it once at call
+time, so values are baked into each jitted fit as compile-time constants.
+"""
+
+from dataclasses import dataclass, fields
+
+
+@dataclass
+class Configs:
+    # Proximal-Newton hessian floor (reference configs.hpp: hessian_min=1e-24).
+    # Kept dtype-aware at use sites: f32 paths floor at ``hessian_min_f32``.
+    hessian_min: float = 1e-24
+    hessian_min_f32: float = 1e-12
+    # Skip coordinate updates with ||dbeta|| <= dbeta_tol * sqrt(q)
+    # (reference configs.hpp: dbeta_tol=1e-12).
+    dbeta_tol: float = 1e-12
+    # Below this many bytes the reference disables threading; here it gates
+    # whether device ops are worth dispatching vs. running on host numpy.
+    min_bytes: int = 1 << 17
+    # Progress-bar symbol (reference: penguin).
+    pb_symbol: str = "\U0001F427"
+    # Cap on solver values to detect divergence (reference: 1e100).
+    max_solver_value: float = 1e100
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # Capacity buckets for screen-set buffers: round capacities up to the next
+    # bucket to bound XLA recompilations.
+    screen_cap_min: int = 64
+    group_cap_min: int = 64
+    # Matmul precision for the large MXU contractions ("default" | "float32" |
+    # "highest").  CD inner loops always run in the solver dtype.
+    matmul_precision: str = "highest"
+
+
+_default = Configs()
+configs = Configs()
+
+
+def set_configs(name: str, value=None):
+    """Set a global configuration value.
+
+    Mirrors ``adelie.configs.set_configs`` (reference adelie/configs.py:4-27):
+    ``value=None`` resets the field to its default.
+    """
+    names = {f.name for f in fields(Configs)}
+    if name not in names:
+        raise ValueError(f"Unknown config: {name!r}. Valid: {sorted(names)}")
+    if value is None:
+        value = getattr(_default, name)
+    setattr(configs, name, value)
+    return value

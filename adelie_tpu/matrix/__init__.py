@@ -1,0 +1,196 @@
+"""Matrix factories mirroring ``adelie.matrix`` (reference adelie/matrix.py).
+
+Users may also implement custom matrices by subclassing
+:class:`MatrixNaiveBase` and providing the functional hot ops
+(``mul``/``gather``/``tmul``) as jittable callables — the TPU-native analog of
+the reference's pybind trampoline extension path (py_matrix.cpp:627-830).
+"""
+
+import numpy as np
+
+from .base import MatrixConstraintBase, MatrixCovBase, MatrixNaiveBase
+from .dense import MatrixCovDense, MatrixCovLazy, MatrixNaiveDense
+from .wrappers import (
+    MatrixCovBlockDiag,
+    MatrixNaiveBlockDiag,
+    MatrixNaiveCConcatenate,
+    MatrixNaiveCSubset,
+    MatrixNaiveKroneckerEye,
+    MatrixNaiveRConcatenate,
+    MatrixNaiveRSubset,
+    MatrixNaiveStandardize,
+)
+
+__all__ = [
+    "MatrixNaiveBase",
+    "MatrixCovBase",
+    "MatrixConstraintBase",
+    "dense",
+    "block_diag",
+    "concatenate",
+    "eager_cov",
+    "kronecker_eye",
+    "lazy_cov",
+    "standardize",
+    "subset",
+    "sparse",
+    "one_hot",
+    "interaction",
+    "snp_unphased",
+    "snp_phased_ancestry",
+    "convex_relu",
+    "convex_gated_relu",
+]
+
+
+def _wrap_naive(mat, dtype=None):
+    if isinstance(mat, MatrixNaiveBase):
+        return mat
+    return MatrixNaiveDense(mat, dtype=dtype)
+
+
+def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
+    """Dense matrix (reference matrix.py:549).  ``n_threads`` accepted for
+    API parity; parallelism is XLA's concern here."""
+    if method == "naive":
+        return MatrixNaiveDense(mat, dtype=dtype)
+    if method == "cov":
+        return MatrixCovDense(mat, dtype=dtype)
+    if method == "constraint":
+        from .constraint_mat import MatrixConstraintDense
+
+        return MatrixConstraintDense(mat, dtype=dtype)
+    raise ValueError(f"Unknown method: {method}")
+
+
+def block_diag(mats, *, method: str = "naive", n_threads: int = 1):
+    """Block-diagonal composition (reference matrix.py:198)."""
+    mats = [
+        m if isinstance(m, (MatrixNaiveBase, MatrixCovBase)) else dense(m, method=method)
+        for m in mats
+    ]
+    if method == "naive":
+        return MatrixNaiveBlockDiag(mats)
+    if method == "cov":
+        return MatrixCovBlockDiag(mats)
+    raise ValueError(f"Unknown method: {method}")
+
+
+def concatenate(mats, *, axis: int = 1, n_threads: int = 1):
+    """Column-/row-wise concatenation (reference matrix.py:292)."""
+    mats = [_wrap_naive(m) for m in mats]
+    if axis == 1:
+        return MatrixNaiveCConcatenate(mats)
+    if axis == 0:
+        return MatrixNaiveRConcatenate(mats)
+    raise ValueError("axis must be 0 or 1")
+
+
+def eager_cov(mat, *, n_threads: int = 1):
+    """Eagerly computed Gram matrix A = X^T X (reference matrix.py:683)."""
+    import jax.numpy as jnp
+    import jax
+
+    X = np.asarray(mat)
+    A = np.asarray(
+        jnp.einsum(
+            "np,nq->pq", jnp.asarray(X), jnp.asarray(X),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    return MatrixCovDense(A)
+
+
+def kronecker_eye(mat, K: int, *, n_threads: int = 1):
+    """``X (x) I_K`` (reference matrix.py:917)."""
+    return MatrixNaiveKroneckerEye(_wrap_naive(mat), K)
+
+
+def lazy_cov(mat, *, n_threads: int = 1, dtype=None):
+    """Lazily computed Gram matrix (reference matrix.py:1000)."""
+    return MatrixCovLazy(mat, dtype=dtype)
+
+
+def standardize(mat, centers=None, scales=None, ddof: int = 0, *, n_threads: int = 1):
+    """Standardized view (reference matrix.py:1414).
+
+    Centers/scales deduced with equal weights 1/n when not given; scales use
+    ``1/(n - ddof)`` normalization.
+    """
+    import jax.numpy as jnp
+
+    mat = _wrap_naive(mat)
+    n = mat.rows()
+    w = jnp.full((n,), 1.0 / n, dtype=jnp.dtype(mat.dtype))
+    if centers is None:
+        centers = np.asarray(mat.mean(w))
+    centers = np.asarray(centers)
+    if scales is None:
+        var = np.asarray(mat.var(jnp.asarray(centers, w.dtype), w))
+        scales = np.sqrt(n / (n - ddof) * var)
+    return MatrixNaiveStandardize(mat, centers, scales)
+
+
+def subset(mat, indices, *, axis: int = 1, n_threads: int = 1):
+    """Row/column subset view (reference matrix.py:1539)."""
+    mat = _wrap_naive(mat)
+    if axis == 1:
+        return MatrixNaiveCSubset(mat, indices)
+    if axis == 0:
+        return MatrixNaiveRSubset(mat, indices)
+    raise ValueError("axis must be 0 or 1")
+
+
+def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
+    """Sparse matrix (reference matrix.py:1301)."""
+    from .sparse import MatrixCovSparse, MatrixNaiveSparse
+
+    if method == "naive":
+        return MatrixNaiveSparse(mat, dtype=dtype)
+    if method == "cov":
+        return MatrixCovSparse(mat, dtype=dtype)
+    if method == "constraint":
+        from .constraint_mat import MatrixConstraintSparse
+
+        return MatrixConstraintSparse(mat, dtype=dtype)
+    raise ValueError(f"Unknown method: {method}")
+
+
+def one_hot(mat, levels=None, *, n_threads: int = 1):
+    """Implicit one-hot expansion of discrete columns (reference matrix.py:1073)."""
+    from .one_hot import MatrixNaiveOneHotDense
+
+    return MatrixNaiveOneHotDense(mat, levels)
+
+
+def interaction(mat, intr_map, levels=None, *, n_threads: int = 1):
+    """Implicit pairwise-interaction expansion (reference matrix.py:721)."""
+    from .interaction import MatrixNaiveInteractionDense
+
+    return MatrixNaiveInteractionDense(mat, intr_map, levels)
+
+
+def snp_unphased(io, *, n_threads: int = 1, dtype=None):
+    """Packed SNP unphased matrix (reference matrix.py:1245)."""
+    from .snp import MatrixNaiveSNPUnphased
+
+    return MatrixNaiveSNPUnphased(io, dtype=dtype)
+
+
+def snp_phased_ancestry(io, *, n_threads: int = 1, dtype=None):
+    """Phased calldata x local-ancestry matrix (reference matrix.py:1189)."""
+    from .snp import MatrixNaiveSNPPhasedAncestry
+
+    return MatrixNaiveSNPPhasedAncestry(io, dtype=dtype)
+
+
+def convex_relu(mat, mask, *, gated: bool = False, n_threads: int = 1):
+    """Implicit ``[relu(XD), -relu(XD)]`` expansion (reference matrix.py:390)."""
+    from .convex_relu import MatrixNaiveConvexGatedRelu, MatrixNaiveConvexRelu
+
+    cls = MatrixNaiveConvexGatedRelu if gated else MatrixNaiveConvexRelu
+    return cls(mat, mask)
+
+
+def convex_gated_relu(mat, mask, *, n_threads: int = 1):
+    return convex_relu(mat, mask, gated=True)

@@ -1,0 +1,273 @@
+"""Solver entry points mirroring ``adelie.solver`` (reference adelie/solver.py).
+
+``grpnet`` is the flagship: group elastic net over a lambda path for any GLM,
+dispatching to the gaussian fast path (no IRLS) when possible
+(reference solver.py:682-695) and reformulating multi-response problems onto
+``X (x) I_K`` (reference solver.py:700-763).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import glm as glm_mod
+from .. import matrix as matrix_mod
+from ..logger import logger
+from . import basil
+from .basil import compute_lmda_max, compute_lmda_path, solve_core
+from .gaussian import GaussianNaiveDriver, GaussianNaiveState
+from .glm_driver import GlmNaiveDriver, GlmNaiveState
+
+__all__ = ["grpnet", "gaussian_cov", "bvls", "pinball", "css_cov"]
+
+
+def _as_matrix(X):
+    if isinstance(X, matrix_mod.MatrixNaiveBase):
+        return X
+    return matrix_mod.dense(np.asarray(X))
+
+
+def _common_state_kwargs(**kw):
+    return kw
+
+
+def grpnet(
+    X,
+    glm,
+    *,
+    constraints=None,
+    groups=None,
+    alpha: float = 1.0,
+    penalty=None,
+    offsets=None,
+    lmda_path=None,
+    irls_max_iters: int = int(1e4),
+    irls_tol: float = 1e-7,
+    max_iters: int = int(1e5),
+    tol: float = 1e-7,
+    adev_tol: float = 0.9,
+    ddev_tol: float = 0.0,
+    newton_tol: float = 1e-12,
+    newton_max_iters: int = 1000,
+    n_threads: int = 1,
+    early_exit: bool = True,
+    intercept: bool = True,
+    screen_rule: str = "pivot",
+    min_ratio: float = 1e-2,
+    lmda_path_size: int = 100,
+    max_screen_size: int = None,
+    max_active_size: int = None,
+    pivot_subset_ratio: float = 0.1,
+    pivot_subset_min: int = 1,
+    pivot_slack_ratio: float = 1.25,
+    check_state: bool = False,
+    progress_bar: bool = False,
+    warm_start=None,
+    exit_cond=None,
+):
+    """Group elastic net solver (reference solver.py:354-958).
+
+    Minimizes  ell(eta) + lmda * sum_g w_g (alpha ||b_g||_2 +
+    (1-alpha)/2 ||b_g||_2^2)  with  eta = X b + b0 1 + offsets,
+    over a decreasing lambda path with BASIL screening.
+    """
+    X = _as_matrix(X)
+    dtype = np.dtype(X.dtype)
+    n, p = X.rows(), X.cols()
+
+    if constraints is not None and any(c is not None for c in constraints):
+        from .constrained import check_constraints_supported
+
+        check_constraints_supported(constraints)
+
+    y_arr = np.asarray(glm.y)
+    if offsets is None:
+        offsets_np = np.zeros(y_arr.shape, dtype)
+    else:
+        offsets_np = np.asarray(offsets, dtype)
+        if offsets_np.shape != y_arr.shape:
+            raise RuntimeError("offsets must be same shape as y if not None.")
+
+    if lmda_path is not None:
+        lmda_path = np.array(np.flip(np.sort(lmda_path)), dtype=float)
+
+    if groups is None:
+        groups = np.arange(p, dtype=int)
+    groups = np.asarray(groups, int)
+
+    is_gaussian_opt = glm.name in ("gaussian", "multigaussian") and glm.opt
+
+    # ---- multi-response reformulation (reference solver.py:700-763) ---- #
+    if glm.is_multi:
+        from .multi import build_multi_problem
+
+        return build_multi_problem(
+            X=X, glm=glm, groups=groups, alpha=alpha, penalty=penalty,
+            offsets=offsets_np, lmda_path=lmda_path, intercept=intercept,
+            is_gaussian_opt=is_gaussian_opt, warm_start=warm_start,
+            solver_kwargs=dict(
+                irls_max_iters=irls_max_iters, irls_tol=irls_tol,
+                max_iters=max_iters, tol=tol, adev_tol=adev_tol,
+                ddev_tol=ddev_tol, newton_tol=newton_tol,
+                newton_max_iters=newton_max_iters, early_exit=early_exit,
+                screen_rule=screen_rule, min_ratio=min_ratio,
+                lmda_path_size=lmda_path_size, max_screen_size=max_screen_size,
+                max_active_size=max_active_size,
+                pivot_subset_ratio=pivot_subset_ratio,
+                pivot_subset_min=pivot_subset_min,
+                pivot_slack_ratio=pivot_slack_ratio,
+            ),
+            progress_bar=progress_bar, exit_cond=exit_cond,
+        )
+
+    # ---- single-response ---- #
+    group_sizes = np.diff(np.concatenate([groups, [p]])).astype(int)
+    G = len(groups)
+    if penalty is None:
+        penalty = np.sqrt(group_sizes).astype(float)
+    else:
+        penalty = np.asarray(penalty, float)
+
+    common = dict(
+        X=X, groups=groups, group_sizes=group_sizes, alpha=float(alpha),
+        penalty=penalty, intercept=bool(intercept), dtype=dtype, n=n, p=p,
+        max_iters=int(max_iters), tol=float(tol), adev_tol=float(adev_tol),
+        ddev_tol=float(ddev_tol), newton_tol=float(newton_tol),
+        newton_max_iters=int(newton_max_iters), early_exit=bool(early_exit),
+        min_ratio=float(min_ratio), lmda_path_size=int(lmda_path_size),
+        max_screen_size=max_screen_size, max_active_size=max_active_size,
+        pivot_subset_ratio=float(pivot_subset_ratio),
+        pivot_subset_min=int(pivot_subset_min),
+        pivot_slack_ratio=float(pivot_slack_ratio),
+        screen_rule=screen_rule, lmda_path=lmda_path,
+        setup_lmda_path=lmda_path is None,
+    )
+
+    if warm_start is None:
+        screen_set = np.arange(G)[(penalty <= 0) | (alpha <= 0)]
+        gs = group_sizes[screen_set]
+        screen_begins = np.concatenate([[0], np.cumsum(gs)])[:-1].astype(int)
+        screen_beta = np.zeros(int(gs.sum()), dtype)
+        screen_is_active = np.ones(len(screen_set), bool)
+        lmda = np.inf
+        lmda_max = None
+    else:
+        screen_set = np.asarray(warm_start.screen_set)
+        screen_begins = np.asarray(warm_start.screen_begins)
+        screen_beta = np.asarray(warm_start.screen_beta)
+        screen_is_active = np.asarray(warm_start.screen_is_active)
+        lmda = warm_start.lmda
+        lmda_max = warm_start.lmda_max
+
+    common.update(
+        screen_set=screen_set, screen_begins=screen_begins,
+        screen_beta=screen_beta, screen_is_active=screen_is_active,
+        lmda=lmda, lmda_max=lmda_max,
+        setup_lmda_max=lmda_max is None,
+    )
+
+    if is_gaussian_opt:
+        y = jnp.asarray(y_arr, dtype)
+        weights = jnp.asarray(np.asarray(glm.weights), dtype)
+        offs = jnp.asarray(offsets_np, dtype)
+        if warm_start is None:
+            ones = jnp.ones((n,), dtype)
+            X_means = X.mul(ones, weights)
+            y_off = y - offs
+            y_mean = float(jnp.vdot(weights, y_off))
+            yc = y_off - y_mean if intercept else y_off
+            y_var = float(jnp.vdot(weights, yc * yc))
+            resid = yc
+            resid_sum = float(jnp.vdot(weights, resid))
+            grad = X.mul(resid, weights)
+            rsq = 0.0
+        else:
+            X_means = warm_start.X_means
+            y_mean = warm_start.y_mean
+            y_var = warm_start.y_var
+            rsq = warm_start.rsq
+            resid = warm_start.resid
+            resid_sum = warm_start.resid_sum
+            grad = warm_start.grad
+
+        state = GaussianNaiveState(
+            weights=weights, X_means=X_means, y_mean=y_mean, y_var=y_var,
+            rsq=rsq, resid=resid, resid_sum=resid_sum, **common,
+        )
+        state.grad = grad
+        driver = GaussianNaiveDriver(state)
+    else:
+        offs = jnp.asarray(offsets_np.ravel(), dtype)
+        if warm_start is None:
+            eta = offs
+            resid = glm.gradient(eta)
+            ones = jnp.ones((n,), dtype)
+            grad = X.mul(resid, ones)
+            loss_null = None
+            loss_full = float(glm.loss_full())
+            beta0 = 0.0
+        else:
+            eta = warm_start.eta
+            resid = warm_start.resid
+            grad = warm_start.grad
+            loss_null = warm_start.loss_null
+            loss_full = warm_start.loss_full
+            beta0 = warm_start.beta0
+
+        state = GlmNaiveState(
+            glm=glm, offsets=offs, beta0=beta0, eta=eta, resid=resid,
+            loss_null=loss_null, loss_full=loss_full,
+            irls_max_iters=int(irls_max_iters), irls_tol=float(irls_tol),
+            **common,
+        )
+        state.grad = grad
+        driver = GlmNaiveDriver(state)
+
+    try:
+        solve_core(state, driver, progress_bar=progress_bar, exit_cond=exit_cond)
+    except Exception as exc:  # return valid partial state (reference py_state.cpp:83-89)
+        state.error = str(exc)
+        logger.error(f"solver: {exc}")
+
+    return finalize_state(state)
+
+
+def finalize_state(state):
+    """Convert output lists to arrays (reference state.py create_from_core)."""
+    import scipy.sparse as sp
+
+    if len(state.betas):
+        state.betas = sp.vstack(state.betas).tocsr()
+    else:
+        state.betas = sp.csr_matrix((0, state.p))
+    state.intercepts = np.asarray(state.intercepts)
+    state.lmdas = np.asarray(state.lmdas)
+    state.devs = np.asarray(state.devs)
+    return state
+
+
+def gaussian_cov(A, v, **kwargs):
+    """Covariance-method group elastic net (reference solver.py:39-351)."""
+    from .cov import gaussian_cov as _impl
+
+    return _impl(A, v, **kwargs)
+
+
+def bvls(X, y, lower, upper, **kwargs):
+    """Bounded-variable least squares (reference solver.py:961)."""
+    from .bvls import bvls as _impl
+
+    return _impl(X, y, lower, upper, **kwargs)
+
+
+def pinball(A, S, v, penalty_neg, penalty_pos, **kwargs):
+    """Pinball least squares (reference solver.py:1119)."""
+    from .pinball import pinball as _impl
+
+    return _impl(A, S, v, penalty_neg, penalty_pos, **kwargs)
+
+
+def css_cov(S, **kwargs):
+    """Column subset selection (reference solver.py:1274)."""
+    from .css import css_cov as _impl
+
+    return _impl(S, **kwargs)

@@ -1,0 +1,249 @@
+"""BASIL outer path loop: screening, KKT retry, path generation.
+
+Host-side orchestration (small G-sized numpy arrays and scalars) around
+jitted device fits — the TPU analog of the reference's ``solve_core``
+(``solver_base.hpp:446-686``), ``screen`` (:274-403) and ``kkt`` (:410-433).
+The per-lambda control flow (retry-until-KKT, early exit, dynamic screen
+growth) is inherently data-dependent, so it stays in Python; everything
+O(n) or O(p) runs on device inside the driver's fit/invariance calls.
+"""
+
+import numpy as np
+
+from ..exceptions import MaxScreenSetError, SolverError
+from ..logger import logger
+from ..utils import Stopwatch
+
+
+def search_pivot(x, y):
+    """Piecewise-linear pivot search (reference
+    optimization/search_pivot.hpp:6-63), vectorized numpy.
+
+    Fits ``y = b0 + b1 * (x[i] - x) 1(x <= x[i])`` for each pivot candidate i
+    and returns (argmin_mse, mses).
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = x.size
+    mses = np.full(n, np.inf)
+    if n <= 1:
+        return max(n - 1, 0), mses
+    i = np.arange(1, n)
+    x_sum = np.cumsum(x)[1:]
+    xsq_sum = np.cumsum(x * x)[1:]
+    y_sum = np.cumsum(y)[1:]
+    yx_sum = np.cumsum(y * x)[1:]
+    y_mean = y.mean()
+    xi = x[1:]
+    t_bar = ((i + 1) * xi - x_sum) / n
+    var_t = (i + 1) * xi * xi - 2 * xi * x_sum + xsq_sum - n * t_bar * t_bar
+    cov_ty = xi * (y_sum - (i + 1) * y_mean) - (yx_sum - y_mean * x_sum)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta1 = np.where(var_t > 0, cov_ty / var_t, 0.0)
+    mses[1:] = -(beta1 * beta1) * var_t
+    return int(np.argmin(mses)), mses
+
+
+def compute_lmda_max(abs_grad, alpha, penalty, ridge_scale=1e-3):
+    """Reference solver/utils.hpp compute_lmda_max."""
+    factor = ridge_scale if alpha <= 0 else alpha
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = np.where(penalty <= 0, 0.0, abs_grad / np.maximum(penalty, 1e-300))
+    return float(vals.max() / factor)
+
+
+def compute_lmda_path(lmda_max, min_ratio, size):
+    """Log-spaced path (reference solver/utils.hpp compute_lmda_path)."""
+    if size <= 0:
+        return np.zeros(0)
+    if size == 1:
+        return np.array([lmda_max])
+    log_factor = np.log(min_ratio) / (size - 1)
+    path = lmda_max * np.exp(log_factor * np.arange(size))
+    path[0] = lmda_max
+    return path
+
+
+def screen(state, lmda_next, all_kkt_passed, n_new_active):
+    """Grow the screen set (reference solver_base.hpp:274-403)."""
+    abs_grad = state.abs_grad
+    lmda = state.lmda
+    alpha = state.alpha
+    penalty = state.penalty
+    G = len(abs_grad)
+    screen_hash = state.screen_hash
+    old_size = len(state.screen_set)
+    new = []
+
+    if state.screen_rule == "strong":
+        strong_lmda = (2 * lmda_next - min(lmda, 1e300)) * alpha
+        thresh = strong_lmda * penalty
+        for i in np.nonzero(abs_grad > thresh)[0]:
+            if int(i) not in screen_hash:
+                new.append(int(i))
+    elif state.screen_rule == "pivot":
+        if n_new_active:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                weights = np.where(
+                    penalty <= 0,
+                    alpha * lmda,
+                    np.minimum(abs_grad / np.maximum(penalty, 1e-300), alpha * lmda),
+                )
+            order = np.argsort(weights, kind="stable")
+            subset_size = min(
+                max(int(old_size * (1 + state.pivot_subset_ratio)),
+                    state.pivot_subset_min),
+                G,
+            )
+            ws = weights[order[G - subset_size:]]
+            pivot_idx, _ = search_pivot(np.arange(subset_size, dtype=float), ws)
+            full_pivot_idx = G - subset_size + pivot_idx
+            for ii in range(G - 1, full_pivot_idx - 1, -1):
+                i = int(order[ii])
+                if i not in screen_hash:
+                    new.append(i)
+            count = 0
+            for ii in range(full_pivot_idx - 1, -1, -1):
+                if count >= state.pivot_slack_ratio * n_new_active:
+                    break
+                i = int(order[ii])
+                if i in screen_hash:
+                    continue
+                new.append(i)
+                count += 1
+        if len(new) == 0 and not all_kkt_passed:
+            # safe fallback: add all KKT violators (reference :366-373)
+            for i in np.nonzero(abs_grad > lmda_next * penalty * alpha)[0]:
+                if int(i) not in screen_hash:
+                    new.append(int(i))
+    else:
+        raise SolverError(f"Unknown screen rule: {state.screen_rule}")
+
+    if old_size + len(new) > state.max_screen_size:
+        raise MaxScreenSetError()
+    state.extend_screen_set(np.asarray(new, int))
+
+
+def early_exit(state) -> bool:
+    """Reference solver_base.hpp:241-263."""
+    if not state.early_exit or len(state.devs) == 0:
+        return False
+    dev_u = state.devs[-1]
+    if dev_u >= state.adev_tol:
+        return True
+    if len(state.devs) == 1:
+        return False
+    dev_m = state.devs[-2]
+    if abs(dev_u - dev_m) < state.ddev_tol:
+        return True
+    return False
+
+
+def solve_core(state, driver, progress_bar=False, exit_cond=None):
+    """The screen/fit/invariance/KKT path loop (solver_base.hpp:446-686).
+
+    ``driver`` provides: ``update_loss_null()``, ``fit(lmda)``,
+    ``update_invariance(lmda)``, ``update_solutions(lmda)``, and
+    ``large_lmda()``.
+    """
+    sw = Stopwatch().start()
+    exit_cond = exit_cond or (lambda *a: False)
+
+    if len(state.screen_set) > state.max_screen_size:
+        raise MaxScreenSetError()
+
+    driver.update_loss_null()
+
+    # --- lambda_max setup via the large-lambda dry fit ---
+    if state.setup_lmda_max and state.lmda_max is None:
+        big = driver.large_lmda()
+        driver.fit(big)
+        driver.update_invariance(big)
+        state.lmda_max = compute_lmda_max(state.abs_grad, state.alpha, state.penalty)
+
+    # --- path generation ---
+    if state.setup_lmda_path and state.lmda_path is None:
+        if state.lmda_path_size <= 0:
+            state.total_time = sw.elapsed()
+            return state
+        state.lmda_path = compute_lmda_path(
+            state.lmda_max, state.min_ratio, state.lmda_path_size
+        )
+    lmda_path = np.asarray(state.lmda_path, float)
+
+    pbar = None
+    if progress_bar:
+        try:
+            from tqdm import tqdm  # type: ignore
+
+            pbar = tqdm(total=len(lmda_path))
+        except Exception:
+            pbar = None
+
+    # --- initial fits for lambdas > lmda_max ---
+    large_count = int(np.searchsorted(-lmda_path, -state.lmda_max))
+    # (number of path entries strictly greater than lmda_max)
+    large_path = list(lmda_path[:large_count])
+    if large_count or state.setup_lmda_max:
+        for i, lm in enumerate(large_path + [state.lmda_max]):
+            is_last = i == large_count
+            driver.fit(lm)
+            if not is_last:
+                driver.update_solutions(lm)
+                state.n_valid_solutions.append(True)
+                state.active_sizes.append(state.active_set_size)
+                state.screen_sizes.append(len(state.screen_set))
+                if pbar is not None:
+                    pbar.update(1)
+                if early_exit(state) or exit_cond(state):
+                    state.total_time = sw.elapsed()
+                    return state
+            else:
+                driver.update_invariance(lm)
+
+    lmda_path_idx = large_count
+
+    # --- BASIL iterations ---
+    kkt_passed = True
+    n_new_active = 0
+    current_active_size = state.active_set_size
+
+    while lmda_path_idx < len(lmda_path):
+        lmda_curr = float(lmda_path[lmda_path_idx])
+
+        while True:
+            sw_phase = Stopwatch().start()
+            screen(state, lmda_curr, kkt_passed, n_new_active)
+            state.benchmark["screen"].append(sw_phase.elapsed())
+
+            fit_times = driver.fit(lmda_curr)
+            state.benchmark["fit_screen"].append(fit_times)
+
+            sw_phase = Stopwatch().start()
+            driver.update_invariance(lmda_curr)
+            state.benchmark["invariance"].append(sw_phase.elapsed())
+
+            sw_phase = Stopwatch().start()
+            kkt_passed = state.kkt(lmda_curr)
+            state.n_valid_solutions.append(kkt_passed)
+            lmda_path_idx += int(kkt_passed)
+            if kkt_passed:
+                driver.update_solutions(lmda_curr)
+            state.benchmark["kkt"].append(sw_phase.elapsed())
+
+            if kkt_passed:
+                state.active_sizes.append(state.active_set_size)
+                state.screen_sizes.append(len(state.screen_set))
+                n_new_active = state.active_sizes[-1] - current_active_size
+                current_active_size = state.active_sizes[-1]
+                break
+
+        if pbar is not None:
+            pbar.update(1)
+        if early_exit(state) or exit_cond(state):
+            break
+
+    if pbar is not None:
+        pbar.close()
+    state.total_time = sw.elapsed()
+    return state

@@ -1,0 +1,244 @@
+"""Screen-set ("pin") solver — coordinate descent in covariance form.
+
+TPU-first re-design of the reference's pin solvers
+(``solver_gaussian_pin_naive.hpp:26-400`` and ``solver_gaussian_pin_cov.hpp``):
+
+The reference's *naive* CD touches an O(n) residual for every group update.
+On TPU we instead gather the screened columns into a dense block ``X_s``
+once per screen-set change, form its weighted, centered Gram
+
+    A = X_s^T diag(w) X_s - xbar_s xbar_s^T        (one MXU matmul)
+
+and run Gauss-Seidel CD entirely in covariance form: each group update is
+O(S q) against VMEM-resident data, with **zero** O(n) work inside the hot
+loop.  The O(n) pieces (Gram, residual reconstruction, full-gradient
+invariance) become three large sharded matmuls per lambda.  The two forms
+are algebraically identical: with centered gradient ``g = X~^T W r`` the
+naive identity ``g = v - A beta`` holds exactly, so convergence behavior,
+iterate sequence, and the rsq/convergence bookkeeping
+(solver_gaussian_pin_base.hpp:100-183) all match the reference.
+
+Dynamic screen/active sets become fixed-capacity masked buffers
+(capacities bucketed to bound recompiles); the group sweep is a
+``lax.fori_loop`` whose body predicates on slot validity/activeness, and the
+whole pin solve (active-set refinement loop included,
+solver_gaussian_pin_naive.hpp:181-400) is ONE jitted device computation.
+"""
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bcd import newton_solver
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------- #
+# screen-set derived quantities                                                #
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("intercept",))
+def screen_gram(Xs, w, intercept: bool):
+    """Weighted (optionally centered) Gram of the gathered screen block.
+
+    ``Xs`` is (n, S) with zero-padded columns; returns (A, means) where
+    ``A = Xs^T diag(w) Xs - means means^T`` (reference
+    solver_gaussian_naive.hpp:53-133 computes this per group + eigh; here one
+    MXU matmul for the whole screen set).  Assumes sum(w) == 1 when
+    ``intercept`` (reference normalizes weights, solver.py).
+    """
+    Xw = Xs * w[:, None]
+    means = jnp.einsum("ns,n->s", Xs, w, precision=_PRECISION)
+    A = jnp.einsum("ns,nt->st", Xs, Xw, precision=_PRECISION)
+    if intercept:
+        A = A - jnp.outer(means, means)
+    return A, means
+
+
+@functools.partial(jax.jit, static_argnames=("qmax",))
+def screen_eigh(A, slot_begin, slot_size, qmax: int):
+    """Batched eigendecomposition of the per-group diagonal blocks of A.
+
+    Replaces the reference's per-group ``SelfAdjointEigenSolver`` loop
+    (solver_gaussian_naive.hpp:113) with one batched ``jnp.linalg.eigh`` over
+    zero-padded (qmax, qmax) blocks.  Padding lanes produce eigenvalue 0 with
+    padding-subspace eigenvectors, which the masked BCD update treats as
+    inert.  Negative eigenvalues are clamped to 0 (reference :127-131).
+    """
+    S = A.shape[0]
+
+    def get_block(b, q):
+        blk = jax.lax.dynamic_slice(A, (b, b), (qmax, qmax))
+        mask = jnp.arange(qmax) < q
+        m2 = mask[:, None] & mask[None, :]
+        return jnp.where(m2, blk, 0.0)
+
+    blocks = jax.vmap(get_block)(slot_begin, slot_size)
+    if qmax == 1:
+        lam = jnp.maximum(blocks[:, :, 0], 0.0)
+        V = jnp.ones_like(blocks)
+        return lam, V
+    lam, V = jnp.linalg.eigh(blocks)
+    lam = jnp.maximum(lam, 0.0)
+    return lam, V
+
+
+# --------------------------------------------------------------------------- #
+# the CD kernel                                                                #
+# --------------------------------------------------------------------------- #
+
+
+def _sweep(carry, consts, active_only):
+    """One Gauss-Seidel pass over screen groups (reference
+    coordinate_descent, solver_gaussian_pin_naive.hpp:26-168, in cov form).
+
+    carry: (beta, grad, is_active, rsq)
+    returns: (beta, grad, is_active, rsq, convg)
+    """
+    (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+     l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
+    beta0, grad0, is_active0, rsq0 = carry
+    S = A.shape[0]
+    G, qmax = eigvals.shape
+
+    def body(i, loop_carry):
+        beta, grad, is_active, rsq, convg = loop_carry
+        q = slot_size[i]
+        process = (q > 0) & (is_active[i] if active_only else True)
+
+        def do(args):
+            beta, grad, is_active, rsq, convg = args
+            b = slot_begin[i]
+            qf = q.astype(beta.dtype)
+            mask = jnp.arange(qmax) < q
+            beta_w = jax.lax.dynamic_slice(beta, (b,), (qmax,))
+            beta_g = jnp.where(mask, beta_w, 0.0)
+            grad_g = jnp.where(
+                mask, jax.lax.dynamic_slice(grad, (b,), (qmax,)), 0.0
+            )
+            V = eigvecs[i]
+            lam = eigvals[i]
+            beta_t = V.T @ beta_g
+            g_t = V.T @ grad_g
+            v_t = g_t + lam * beta_t
+            pk = penalty[i]
+            x_t, _ = newton_solver(
+                lam, v_t, l1 * pk, l2 * pk, newton_tol, newton_max_iters
+            )
+            d_t = x_t - beta_t
+            dnorm2 = jnp.sum(d_t * d_t)
+            # skip-threshold: exact zero for q==1, dbeta_tol*sqrt(q) else
+            # (reference :97 'if (ak_old == ak) continue' / :145 dbeta_tol)
+            thresh = jnp.where(q > 1, (dbeta_tol * dbeta_tol) * qf, 0.0)
+            changed = dnorm2 > thresh
+
+            def apply(args):
+                beta, grad, is_active, rsq, convg = args
+                convg_c = jnp.sum(lam * d_t * d_t) / qf
+                convg = jnp.maximum(convg, convg_c)
+                rsq = rsq + jnp.sum(d_t * (2.0 * g_t - d_t * lam))
+                beta_new_g = V @ x_t
+                dbeta_g = jnp.where(mask, beta_new_g - beta_g, 0.0)
+                Acols = jax.lax.dynamic_slice(A, (jnp.zeros((), b.dtype), b), (S, qmax))
+                grad = grad - Acols @ dbeta_g
+                new_w = jnp.where(mask, beta_new_g, beta_w)
+                beta = jax.lax.dynamic_update_slice(beta, new_w, (b,))
+                is_active = is_active.at[i].set(True)
+                return beta, grad, is_active, rsq, convg
+
+            return jax.lax.cond(changed, apply, lambda a: a,
+                                (beta, grad, is_active, rsq, convg))
+
+        return jax.lax.cond(process, do, lambda a: a,
+                            (beta, grad, is_active, rsq, convg))
+
+    beta, grad, is_active, rsq, convg = jax.lax.fori_loop(
+        0, G, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
+    )
+    return beta, grad, is_active, rsq, convg
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pin_cov_solve(
+    A,
+    grad,
+    beta,
+    slot_begin,
+    slot_size,
+    eigvals,
+    eigvecs,
+    penalty,
+    is_active,
+    lmda,
+    alpha,
+    tol,
+    dbeta_tol,
+    newton_tol,
+    newton_max_iters,
+    max_iters,
+    rsq,
+):
+    """Solve the pinned group elastic net at one lambda, entirely on device.
+
+    Mirrors reference ``pin::naive::solve`` (solver_gaussian_pin_naive.hpp:
+    317-400): alternate (a) CD over the active set until ``convg < tol``
+    with (b) full screen-set sweeps that grow the active set; stop when a
+    full sweep converges.  Returns (beta, grad, is_active, rsq, iters,
+    converged).
+    """
+    dtype = beta.dtype
+    l1 = lmda * alpha
+    l2 = lmda * (1.0 - alpha)
+    consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+              l1, l2, newton_tol, newton_max_iters, dbeta_tol)
+
+    def active_phase(state):
+        beta, grad, is_active, rsq, iters = state
+
+        def cond(c):
+            _, _, _, _, convg, it = c
+            return (convg >= tol) & (it < max_iters)
+
+        def body(c):
+            beta, grad, is_active, rsq, _, it = c
+            beta, grad, is_active, rsq, convg = _sweep(
+                (beta, grad, is_active, rsq), consts, active_only=True
+            )
+            return beta, grad, is_active, rsq, convg, it + 1
+
+        # always at least one active sweep (reference solve_active :181-215)
+        beta, grad, is_active, rsq, convg = _sweep(
+            (beta, grad, is_active, rsq), consts, active_only=True
+        )
+        beta, grad, is_active, rsq, convg, iters = jax.lax.while_loop(
+            cond, body, (beta, grad, is_active, rsq, convg, iters + 1)
+        )
+        return beta, grad, is_active, rsq, iters
+
+    def outer_cond(state):
+        _, _, _, _, convg, iters, done = state
+        return (~done) & (iters < max_iters)
+
+    def outer_body(state):
+        beta, grad, is_active, rsq, _, iters, _ = state
+        beta, grad, is_active, rsq, iters = active_phase(
+            (beta, grad, is_active, rsq, iters)
+        )
+        beta, grad, is_active, rsq, convg = _sweep(
+            (beta, grad, is_active, rsq), consts, active_only=False
+        )
+        iters = iters + 1
+        done = convg < tol
+        return beta, grad, is_active, rsq, convg, iters, done
+
+    init = (beta, grad, is_active, rsq, jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    beta, grad, is_active, rsq, convg, iters, done = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+    return beta, grad, is_active, rsq, iters, done
