@@ -222,11 +222,20 @@ def grpnet(
         state.grad = grad
         driver = GlmNaiveDriver(state)
 
+    if warm_start is not None:
+        # restore the KKT invariance quantities (reference carries abs_grad
+        # inside the state object across warm starts)
+        state.abs_grad = getattr(warm_start, "abs_grad", None)
+        if state.abs_grad is None and np.isfinite(state.lmda):
+            state.update_abs_grad(state.lmda)
+
     try:
         solve_core(state, driver, progress_bar=progress_bar, exit_cond=exit_cond)
     except Exception as exc:  # return valid partial state (reference py_state.cpp:83-89)
+        import traceback
+
         state.error = str(exc)
-        logger.error(f"solver: {exc}")
+        logger.error(f"solver: {exc}\n{traceback.format_exc()}")
 
     return finalize_state(state)
 
