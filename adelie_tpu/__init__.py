@@ -15,6 +15,25 @@ CV, diagnostics), built TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# XLA compile times on TPU are large for the control-flow-heavy pin solver;
+# a persistent compile cache makes warm starts ~free across processes
+# (the analog of the reference setting OpenMP env defaults at import,
+# adelie/__init__.py:11-19).
+if not _os.environ.get("ADELIE_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/adelie_tpu_xla"),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover
+        pass
+
 from . import bcd
 from . import configs as _configs_mod
 from . import glm

@@ -68,7 +68,33 @@ class MatrixNaiveBase:
 
     def mul(self, v, w):
         """``X^T (w * v)`` -> (p,).  Reference: matrix_naive_base.hpp ``mul``."""
+        f, data = self.mul_spec()
+        return f(data, jnp.asarray(v), jnp.asarray(w))
+
+    def mul_spec(self):
+        """Return ``(pure_fn, data_pytree)`` with ``pure_fn(data, v, w) ==
+        X^T (w*v)``.
+
+        The pure function must NOT close over device arrays — the matrix
+        payload travels through ``data`` so jitted solver steps take it as an
+        argument (closed-over arrays become XLA constants, which both bloat
+        the HLO and defeat compile caching across datasets).  Wrappers
+        compose their children's specs.
+        """
         raise NotImplementedError
+
+    def structure_key(self):
+        """Hashable key identifying the *structure* (not data) baked into
+        ``mul_spec``'s pure function — used to share compiled solver steps
+        across matrix instances with identical structure."""
+        key = (type(self).__name__, self._rows, self._cols)
+        child = getattr(self, "_child", None)
+        if child is not None:
+            key = key + (child.structure_key(),)
+        children = getattr(self, "_children", None)
+        if children is not None:
+            key = key + tuple(c.structure_key() for c in children)
+        return key
 
     def gather(self, indices):
         """Densify columns ``indices`` -> (n, k) jax array."""

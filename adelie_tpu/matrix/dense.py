@@ -48,6 +48,12 @@ class MatrixNaiveDense(MatrixNaiveBase):
     def mul(self, v, w):
         return _mul(self._mat, jnp.asarray(v), jnp.asarray(w))
 
+    def mul_spec(self):
+        def f(data, v, w):
+            return jnp.einsum("n,np->p", v * w, data["mat"], precision=_PRECISION)
+
+        return f, {"mat": self._mat}
+
     def gather(self, indices):
         return jnp.take(self._mat, jnp.asarray(np.asarray(indices, np.int32)), axis=1)
 

@@ -39,6 +39,17 @@ class MatrixNaiveStandardize(MatrixNaiveBase):
         vw_sum = jnp.sum(v * w)
         return (raw - self._centers * vw_sum) / self._scales
 
+    def mul_spec(self):
+        cf, cdata = self._child.mul_spec()
+
+        def f(data, v, w):
+            raw = cf(data["child"], v, w)
+            vw_sum = jnp.sum(v * w)
+            return (raw - data["centers"] * vw_sum) / data["scales"]
+
+        return f, {"child": cdata, "centers": self._centers,
+                   "scales": self._scales}
+
     def gather(self, indices):
         idx = np.asarray(indices, np.int32)
         blk = self._child.gather(idx)
@@ -74,6 +85,15 @@ class MatrixNaiveCSubset(MatrixNaiveBase):
         full = self._child.mul(v, w)
         return full[jnp.asarray(self._subset)]
 
+    def mul_spec(self):
+        cf, cdata = self._child.mul_spec()
+        sub = jnp.asarray(self._subset)
+
+        def f(data, v, w):
+            return cf(data["child"], v, w)[data["subset"]]
+
+        return f, {"child": cdata, "subset": sub}
+
     def gather(self, indices):
         return self._child.gather(self._subset[np.asarray(indices, np.int32)])
 
@@ -102,7 +122,20 @@ class MatrixNaiveRSubset(MatrixNaiveBase):
         return jnp.zeros(shape, v.dtype).at[jnp.asarray(self._subset)].add(v)
 
     def mul(self, v, w):
-        return self._child.mul(self._expand(v), self._expand(w))
+        # accumulate v*w into child rows (duplicate subset rows must add)
+        vw = jnp.asarray(v) * jnp.asarray(w)
+        return self._child.mul(self._expand(vw), jnp.ones((self._child.rows(),), vw.dtype))
+
+    def mul_spec(self):
+        cf, cdata = self._child.mul_spec()
+        nch = self._child.rows()
+        sub = jnp.asarray(self._subset)
+
+        def f(data, v, w):
+            vw = jnp.zeros((nch,), v.dtype).at[data["subset"]].add(v * w)
+            return cf(data["child"], vw, jnp.ones((nch,), v.dtype))
+
+        return f, {"child": cdata, "subset": sub}
 
     def gather(self, indices):
         return self._child.gather(indices)[jnp.asarray(self._subset)]
@@ -131,6 +164,17 @@ class MatrixNaiveCConcatenate(MatrixNaiveBase):
 
     def mul(self, v, w):
         return jnp.concatenate([m.mul(v, w) for m in self._children])
+
+    def mul_spec(self):
+        specs = [m.mul_spec() for m in self._children]
+        fns = [s[0] for s in specs]
+
+        def f(data, v, w):
+            return jnp.concatenate(
+                [fn(d, v, w) for fn, d in zip(fns, data["children"])]
+            )
+
+        return f, {"children": [s[1] for s in specs]}
 
     def gather(self, indices):
         idx = np.asarray(indices, np.int64)
@@ -191,6 +235,20 @@ class MatrixNaiveRConcatenate(MatrixNaiveBase):
             out = term if out is None else out + term
         return out
 
+    def mul_spec(self):
+        specs = [m.mul_spec() for m in self._children]
+        fns = [s[0] for s in specs]
+        offs = [int(o) for o in self._row_offsets]
+
+        def f(data, v, w):
+            out = None
+            for c, (fn, d) in enumerate(zip(fns, data["children"])):
+                term = fn(d, v[offs[c]:offs[c + 1]], w[offs[c]:offs[c + 1]])
+                out = term if out is None else out + term
+            return out
+
+        return f, {"children": [s[1] for s in specs]}
+
     def gather(self, indices):
         return jnp.concatenate([m.gather(indices) for m in self._children], axis=0)
 
@@ -230,6 +288,19 @@ class MatrixNaiveBlockDiag(MatrixNaiveBase):
             r0, r1 = self._row_offsets[c], self._row_offsets[c + 1]
             outs.append(m.mul(v[r0:r1], w[r0:r1]))
         return jnp.concatenate(outs)
+
+    def mul_spec(self):
+        specs = [m.mul_spec() for m in self._children]
+        fns = [s[0] for s in specs]
+        offs = [int(o) for o in self._row_offsets]
+
+        def f(data, v, w):
+            return jnp.concatenate([
+                fn(d, v[offs[c]:offs[c + 1]], w[offs[c]:offs[c + 1]])
+                for c, (fn, d) in enumerate(zip(fns, data["children"]))
+            ])
+
+        return f, {"children": [s[1] for s in specs]}
 
     def gather(self, indices):
         idx = np.asarray(indices, np.int64)
@@ -281,12 +352,21 @@ class MatrixNaiveKroneckerEye(MatrixNaiveBase):
         return self._K
 
     def mul(self, v, w):
+        f, data = self.mul_spec()
+        return f(data, jnp.asarray(v), jnp.asarray(w))
+
+    def mul_spec(self):
+        cf, cdata = self._child.mul_spec()
         K = self._K
         n = self._child.rows()
-        vw = (jnp.asarray(v) * jnp.asarray(w)).reshape(n, K)
-        # out[q*K + k] = sum_i X[i, q] vw[i, k]
-        cols = [self._child.mul(vw[:, k], jnp.ones((n,), self.dtype)) for k in range(K)]
-        return jnp.stack(cols, axis=1).reshape(-1)
+
+        def f(data, v, w):
+            vw = (v * w).reshape(n, K)
+            ones = jnp.ones((n,), vw.dtype)
+            cols = [cf(data["child"], vw[:, k], ones) for k in range(K)]
+            return jnp.stack(cols, axis=1).reshape(-1)
+
+        return f, {"child": cdata}
 
     def gather(self, indices):
         idx = np.asarray(indices, np.int64)

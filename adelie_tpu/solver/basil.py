@@ -224,7 +224,10 @@ def solve_core(state, driver, progress_bar=False, exit_cond=None):
             state.benchmark["invariance"].append(sw_phase.elapsed())
 
             sw_phase = Stopwatch().start()
-            kkt_passed = state.kkt(lmda_curr)
+            kkt_passed = (
+                driver.kkt(lmda_curr) if hasattr(driver, "kkt")
+                else state.kkt(lmda_curr)
+            )
             state.n_valid_solutions.append(kkt_passed)
             lmda_path_idx += int(kkt_passed)
             if kkt_passed:

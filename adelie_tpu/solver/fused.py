@@ -1,0 +1,96 @@
+"""Fused per-lambda device step for the gaussian path.
+
+The axon/tunnel round-trip dominates warm per-lambda cost, so the whole
+lambda iteration — screen-gradient, covariance-form pin solve, residual
+reconstruction, full-gradient invariance, per-group KKT norms and the KKT
+verdict — is ONE jitted device computation with a single host pull of
+small outputs.  (The reference keeps all of this inside one C++ call per
+path for the same reason: one Python<->C++ crossing, py_state.cpp:63-110.)
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .pin import pin_cov_solve
+from .state_core import screen_grad_kernel
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+_STEP_CACHE = {}
+
+
+def get_gaussian_step(X, intercept: bool, num_groups: int):
+    """Memoized fused step per matrix *structure* — a fresh grpnet call on a
+    new dataset with the same shapes reuses the in-process jit cache."""
+    try:
+        key = (X.structure_key(), bool(intercept), int(num_groups))
+    except Exception:
+        return build_gaussian_step(X, intercept, num_groups)
+    hit = _STEP_CACHE.get(key)
+    if hit is None:
+        hit = _STEP_CACHE[key] = build_gaussian_step(X, intercept, num_groups)
+    return hit
+
+
+def build_gaussian_step(X, intercept: bool, num_groups: int):
+    """Create the fused step for a given matrix object.
+
+    The matrix payload travels through ``X_data`` (see
+    ``MatrixNaiveBase.mul_spec``) so the compiled program is data-
+    independent: the persistent XLA cache hits across datasets and the HLO
+    carries no giant constants.  Recompiles only per screen-cache bucket.
+    """
+    mul_fn, _ = X.mul_spec()
+
+    @jax.jit
+    def step(
+        X_data,
+        A, Xs, means_s, cols_padded,
+        slot_begin, slot_size, eigvals, eigvecs, penalty_slots,
+        beta0, active0,
+        resid, w, X_means,
+        group_ids, penalty_cols, penalty_groups, is_screen_mask,
+        lmda, alpha, tol, dbeta_tol, newton_tol,
+        newton_max_iters, max_iters, rsq,
+    ):
+        dtype = beta0.dtype
+        resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
+        vw = w * resid
+        grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
+        if intercept:
+            grad_s = grad_s - means_s * resid_sum0
+
+        beta, grad_s_new, active, rsq_new, iters, done = pin_cov_solve(
+            A, grad_s, beta0, slot_begin, slot_size, eigvals, eigvecs,
+            penalty_slots, active0, lmda, alpha, tol, dbeta_tol,
+            newton_tol, newton_max_iters, max_iters, rsq,
+        )
+
+        dbeta = beta - beta0
+        resid_new = resid - jnp.matmul(Xs, dbeta, precision=_PRECISION)
+        resid_sum = jnp.vdot(w, resid_new, precision=_PRECISION)
+
+        grad = mul_fn(X_data, resid_new, w)
+        if intercept:
+            grad = grad - resid_sum * X_means
+
+        # abs_grad (reference update_abs_grad, solver_base.hpp:21-110)
+        ok = cols_padded >= 0
+        safe = jnp.where(ok, cols_padded, 0)
+        beta_cols = jnp.zeros_like(grad).at[safe].set(
+            jnp.where(ok, beta, 0.0), mode="drop"
+        )
+        l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
+        gadj = grad - l2s * (penalty_cols * beta_cols)
+        sq = jax.ops.segment_sum(gadj * gadj, group_ids, num_segments=num_groups)
+        abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
+
+        # KKT verdict (reference solver_base.hpp:410-433)
+        viol = abs_grad > lmda * alpha * penalty_groups
+        kkt_passed = ~jnp.any(viol & ~is_screen_mask)
+
+        return (beta, active, rsq_new, resid_new, resid_sum, grad, abs_grad,
+                kkt_passed, iters, done)
+
+    return step

@@ -188,6 +188,9 @@ class GlmNaiveDriver:
         s.lmda = lmda
         s.update_abs_grad(lmda)
 
+    def kkt(self, lmda):
+        return self.s.kkt(lmda)
+
     def update_solutions(self, lmda):
         s = self.s
         cache = s.ensure_screen_cache()

@@ -106,6 +106,9 @@ def _sweep(carry, consts, active_only):
     S = A.shape[0]
     G, qmax = eigvals.shape
 
+    if qmax == 1:
+        return _sweep_q1(carry, consts, active_only)
+
     def body(i, loop_carry):
         beta, grad, is_active, rsq, convg = loop_carry
         q = slot_size[i]
@@ -152,6 +155,58 @@ def _sweep(carry, consts, active_only):
                 return beta, grad, is_active, rsq, convg
 
             return jax.lax.cond(changed, apply, lambda a: a,
+                                (beta, grad, is_active, rsq, convg))
+
+        return jax.lax.cond(process, do, lambda a: a,
+                            (beta, grad, is_active, rsq, convg))
+
+    beta, grad, is_active, rsq, convg = jax.lax.fori_loop(
+        0, G, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
+    )
+    return beta, grad, is_active, rsq, convg
+
+
+def _sweep_q1(carry, consts, active_only):
+    """Lasso fast path: all groups size 1, closed-form soft threshold per
+    coordinate (reference update_coordinate scalar overload,
+    solver_gaussian_pin_base.hpp:181-196) — no eigvec rotation, no Newton."""
+    (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+     l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
+    beta0, grad0, is_active0, rsq0 = carry
+    S = A.shape[0]
+    G = eigvals.shape[0]
+
+    def body(i, loop_carry):
+        beta, grad, is_active, rsq, convg = loop_carry
+        q = slot_size[i]
+        process = (q > 0) & (is_active[i] if active_only else True)
+
+        def do(args):
+            beta, grad, is_active, rsq, convg = args
+            b = slot_begin[i]
+            akk = eigvals[i, 0]
+            bk = beta[b]
+            gk = grad[b]
+            u = gk + akk * bk
+            pk = penalty[i]
+            vthr = jnp.abs(u) - l1 * pk
+            bnew = jnp.where(
+                vthr > 0, jnp.sign(u) * vthr / (akk + l2 * pk), 0.0
+            )
+            d = bnew - bk
+
+            def apply(args):
+                beta, grad, is_active, rsq, convg = args
+                convg = jnp.maximum(convg, akk * d * d)
+                rsq = rsq + d * (2.0 * gk - d * akk)
+                grad = grad - d * jax.lax.dynamic_slice(
+                    A, (b, jnp.zeros((), b.dtype)), (1, S)
+                )[0]
+                beta = beta.at[b].set(bnew)
+                is_active = is_active.at[i].set(True)
+                return beta, grad, is_active, rsq, convg
+
+            return jax.lax.cond(d != 0.0, apply, lambda a: a,
                                 (beta, grad, is_active, rsq, convg))
 
         return jax.lax.cond(process, do, lambda a: a,
