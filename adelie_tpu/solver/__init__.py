@@ -230,7 +230,11 @@ def grpnet(
             state.update_abs_grad(state.lmda)
 
     try:
-        solve_core(state, driver, progress_bar=progress_bar, exit_cond=exit_cond)
+        if hasattr(driver, "solve_path"):
+            driver.solve_path(progress_bar=progress_bar, exit_cond=exit_cond)
+        else:
+            solve_core(state, driver, progress_bar=progress_bar,
+                       exit_cond=exit_cond)
     except Exception as exc:  # return valid partial state (reference py_state.cpp:83-89)
         import traceback
 

@@ -64,10 +64,17 @@ def compute_lmda_path(lmda_max, min_ratio, size):
     return path
 
 
-def screen(state, lmda_next, all_kkt_passed, n_new_active):
-    """Grow the screen set (reference solver_base.hpp:274-403)."""
+def screen(state, lmda_next, all_kkt_passed, n_new_active,
+           lmda_prev=None, lmda_fallback=None):
+    """Grow the screen set (reference solver_base.hpp:274-403).
+
+    ``lmda_prev``/``lmda_fallback`` support chunked (batched-lambda)
+    screening: the strong rule extrapolates from the previous chunk lambda,
+    and the KKT safe-fallback thresholds at the actually-failing lambda.
+    """
     abs_grad = state.abs_grad
-    lmda = state.lmda
+    lmda = state.lmda if lmda_prev is None else lmda_prev
+    lmda_fallback = lmda_next if lmda_fallback is None else lmda_fallback
     alpha = state.alpha
     penalty = state.penalty
     G = len(abs_grad)
@@ -113,7 +120,7 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active):
                 count += 1
         if len(new) == 0 and not all_kkt_passed:
             # safe fallback: add all KKT violators (reference :366-373)
-            for i in np.nonzero(abs_grad > lmda_next * penalty * alpha)[0]:
+            for i in np.nonzero(abs_grad > lmda_fallback * penalty * alpha)[0]:
                 if int(i) not in screen_hash:
                     new.append(int(i))
     else:

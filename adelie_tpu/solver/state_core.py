@@ -204,6 +204,8 @@ class NaiveStateBase:
     setup_lmda_max: bool = True
     setup_lmda_path: bool = True
     n_threads: int = 1  # accepted for API parity; unused
+    # lambdas fitted per device call (BASIL batching; TPU-specific knob)
+    lmda_chunk: int = 8
 
     # dynamic invariants
     screen_set: np.ndarray = None          # (S_G,) group indices

@@ -56,8 +56,8 @@ def main():
 
     glm = ad.glm.gaussian(y)
 
-    # warm-up (compile)
-    ad.grpnet(X, glm, lmda_path_size=10, min_ratio=0.1, progress_bar=False)
+    # warm-up (compile): identical path so the timed run is steady-state
+    ad.grpnet(X, glm, lmda_path_size=100, min_ratio=1e-2, progress_bar=False)
 
     t0 = time.perf_counter()
     state = ad.grpnet(X, glm, lmda_path_size=100, min_ratio=1e-2,

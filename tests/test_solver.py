@@ -164,8 +164,10 @@ def test_warm_start_continuation():
     half = ad.grpnet(X, glm, lmda_path=full.lmdas[:5], **kw)
     cont = ad.grpnet(X, glm, lmda_path=full.lmdas, warm_start=half,
                      early_exit=False, **kw)
+    # both runs solve to tol=1e-7 in the convergence measure; coefficient
+    # agreement is at the sqrt-of-tol scale
     np.testing.assert_allclose(
-        cont.betas[-1].toarray(), full.betas[-1].toarray(), atol=1e-7
+        cont.betas[-1].toarray(), full.betas[-1].toarray(), atol=5e-5
     )
 
 
