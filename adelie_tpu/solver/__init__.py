@@ -260,27 +260,27 @@ def finalize_state(state):
 
 def gaussian_cov(A, v, **kwargs):
     """Covariance-method group elastic net (reference solver.py:39-351)."""
-    from .cov import gaussian_cov as _impl
+    from ._cov import gaussian_cov as _impl
 
     return _impl(A, v, **kwargs)
 
 
 def bvls(X, y, lower, upper, **kwargs):
     """Bounded-variable least squares (reference solver.py:961)."""
-    from .bvls import bvls as _impl
+    from ._bvls import bvls as _impl
 
     return _impl(X, y, lower, upper, **kwargs)
 
 
 def pinball(A, S, v, penalty_neg, penalty_pos, **kwargs):
     """Pinball least squares (reference solver.py:1119)."""
-    from .pinball import pinball as _impl
+    from ._pinball import pinball as _impl
 
     return _impl(A, S, v, penalty_neg, penalty_pos, **kwargs)
 
 
-def css_cov(S, **kwargs):
+def css_cov(S, subset_size=None, **kwargs):
     """Column subset selection (reference solver.py:1274)."""
-    from .css import css_cov as _impl
+    from ._css import css_cov as _impl
 
-    return _impl(S, **kwargs)
+    return _impl(S, subset_size, **kwargs)

@@ -146,15 +146,19 @@ def early_exit(state) -> bool:
     return False
 
 
-def solve_core(state, driver, progress_bar=False, exit_cond=None):
+def solve_core(state, driver, progress_bar=False, exit_cond=None,
+               early_exit_fn=None):
     """The screen/fit/invariance/KKT path loop (solver_base.hpp:446-686).
 
     ``driver`` provides: ``update_loss_null()``, ``fit(lmda)``,
     ``update_invariance(lmda)``, ``update_solutions(lmda)``, and
-    ``large_lmda()``.
+    ``large_lmda()``.  ``early_exit_fn`` overrides the deviance-based exit
+    (used by the covariance method's rdev rule, solver_gaussian_cov.hpp:186).
     """
     sw = Stopwatch().start()
     exit_cond = exit_cond or (lambda *a: False)
+    if early_exit_fn is None:
+        early_exit_fn = early_exit
 
     if len(state.screen_set) > state.max_screen_size:
         raise MaxScreenSetError()
@@ -202,7 +206,7 @@ def solve_core(state, driver, progress_bar=False, exit_cond=None):
                 state.screen_sizes.append(len(state.screen_set))
                 if pbar is not None:
                     pbar.update(1)
-                if early_exit(state) or exit_cond(state):
+                if early_exit_fn(state) or exit_cond(state):
                     state.total_time = sw.elapsed()
                     return state
             else:
@@ -250,7 +254,7 @@ def solve_core(state, driver, progress_bar=False, exit_cond=None):
 
         if pbar is not None:
             pbar.update(1)
-        if early_exit(state) or exit_cond(state):
+        if early_exit_fn(state) or exit_cond(state):
             break
 
     if pbar is not None:
