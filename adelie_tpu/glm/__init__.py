@@ -289,7 +289,7 @@ def cox(
     **kwargs,
 ):
     """Cox partial likelihood GLM (reference glm.py:199-330)."""
-    from .cox import GlmCox
+    from ._cox import GlmCox
 
     return GlmCox(
         start=start,

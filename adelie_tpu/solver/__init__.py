@@ -74,10 +74,17 @@ def grpnet(
     dtype = np.dtype(X.dtype)
     n, p = X.rows(), X.cols()
 
-    if constraints is not None and any(c is not None for c in constraints):
+    has_constraints = constraints is not None and any(
+        c is not None for c in constraints
+    )
+    if has_constraints:
         from .constrained import check_constraints_supported
 
         check_constraints_supported(constraints)
+        if glm.is_multi:
+            raise NotImplementedError(
+                "constraints with multi-response GLMs are not supported yet"
+            )
 
     y_arr = np.asarray(glm.y)
     if offsets is None:
@@ -194,7 +201,12 @@ def grpnet(
             rsq=rsq, resid=resid, resid_sum=resid_sum, **common,
         )
         state.grad = grad
-        driver = GaussianNaiveDriver(state)
+        if has_constraints:
+            from .constrained import ConstrainedGaussianDriver
+
+            driver = ConstrainedGaussianDriver(state, list(constraints))
+        else:
+            driver = GaussianNaiveDriver(state)
     else:
         offs = jnp.asarray(offsets_np.ravel(), dtype)
         if warm_start is None:
@@ -220,7 +232,12 @@ def grpnet(
             **common,
         )
         state.grad = grad
-        driver = GlmNaiveDriver(state)
+        if has_constraints:
+            from .constrained import ConstrainedGlmDriver
+
+            driver = ConstrainedGlmDriver(state, list(constraints))
+        else:
+            driver = GlmNaiveDriver(state)
 
     if warm_start is not None:
         # restore the KKT invariance quantities (reference carries abs_grad

@@ -1,0 +1,257 @@
+"""Constraint-aware pin solver.
+
+Extends the covariance-form CD of pin.py with per-group convex constraints
+(reference: solver_gaussian_pin_naive.hpp:420-459 dispatches each group
+update to ``constraint->solve``).  Constrained groups run an inline ADMM
+block solve (see adelie_tpu/constraint) whose x-update reuses the same
+eigenbasis Newton solver; the whole sweep — unconstrained Newton updates,
+constrained ADMM updates, active-set bookkeeping — remains ONE jitted
+device computation over padded buffers:
+
+* ``A_pad``  (G, mmax, qmax): per-group constraint matrix ``A_g`` times the
+  group eigenbasis ``V_g`` (i.e. ``P_g = A_g V_g``), zero on padding,
+* ``DH/UH``  (G, qmax[, qmax]): eigendecomposition of
+  ``H_g = diag(lam_g) + rho P_g' P_g`` — the ADMM x-update curvature,
+  precomputed once per (screen-set, weights) change (lambda-independent),
+* ``lo/hi``  (G, mmax): interval bounds on ``z = A_g beta_g``,
+* ``mu``     (G, mmax): dual variables, carried across lambdas (the
+  reference keeps ``_mu`` inside each constraint object).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..bcd import newton_solver
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def prep_constraint_buffers(A_pad, eigvecs, eigvals, rho):
+    """P = A_g V_g and eigh of H = diag(lam) + rho P'P, batched over groups."""
+    P = jnp.einsum("gmq,gqr->gmr", A_pad, eigvecs, precision=_PRECISION)
+    PtP = jnp.einsum("gmq,gmr->gqr", P, P, precision=_PRECISION)
+    qmax = eigvals.shape[1]
+    H = PtP * rho + jax.vmap(jnp.diag)(eigvals)
+    DH, UH = jnp.linalg.eigh(H)
+    DH = jnp.maximum(DH, 0.0)
+    return P, DH, UH
+
+
+def _admm_update(P, DH, UH, v_t, l1, l2, lo, hi, x0, mu0, rho,
+                 cons_tol, cons_max_iters, newton_tol, newton_max_iters):
+    """Inline ADMM (same math as constraint.admm_block_solve) on one group."""
+    m = P.shape[0]
+    d = P.shape[1]
+    dtype = v_t.dtype
+    sqm = jnp.sqrt(jnp.asarray(float(m), dtype))
+    sqd = jnp.sqrt(jnp.asarray(float(d), dtype))
+
+    def xupdate(z, u):
+        c = v_t + rho * (P.T @ (z - u))
+        ct = UH.T @ c
+        xt, _ = newton_solver(DH, ct, l1, l2, newton_tol, newton_max_iters)
+        return UH @ xt
+
+    Px0 = P @ x0
+    z0 = jnp.clip(Px0, lo, hi)
+    u0 = mu0 / rho
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (~done) & (it < cons_max_iters)
+
+    def body(carry):
+        x, z, u, it, _ = carry
+        x = xupdate(z, u)
+        Px = P @ x
+        z_new = jnp.clip(Px + u, lo, hi)
+        u = u + Px - z_new
+        r_norm = jnp.linalg.norm(Px - z_new)
+        s_norm = rho * jnp.linalg.norm(P.T @ (z_new - z))
+        eps_pri = sqm * cons_tol + cons_tol * jnp.maximum(
+            jnp.linalg.norm(Px), jnp.linalg.norm(z_new)
+        )
+        eps_dual = sqd * cons_tol + cons_tol * rho * jnp.linalg.norm(P.T @ u)
+        done = (r_norm <= eps_pri) & (s_norm <= eps_dual)
+        return x, z_new, u, it + 1, done
+
+    x, z, u, _, _ = jax.lax.while_loop(
+        cond, body, (x0, z0, u0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    )
+    return x, rho * u
+
+
+def _sweep_constrained(carry, consts, active_only):
+    """Gauss-Seidel pass with constraint dispatch per group."""
+    (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+     has_cons, P_pad, DH, UH, lo_pad, hi_pad, rho,
+     cons_tol, cons_max_iters,
+     l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
+    beta0, grad0, is_active0, rsq0, mu0 = carry
+    S = A.shape[0]
+    G, qmax = eigvals.shape
+
+    def body(i, loop_carry):
+        beta, grad, is_active, rsq, mu, convg = loop_carry
+        q = slot_size[i]
+        process = (q > 0) & (is_active[i] if active_only else True)
+
+        def do(args):
+            beta, grad, is_active, rsq, mu, convg = args
+            b = slot_begin[i]
+            qf = q.astype(beta.dtype)
+            mask = jnp.arange(qmax) < q
+            beta_w = jax.lax.dynamic_slice(beta, (b,), (qmax,))
+            beta_g = jnp.where(mask, beta_w, 0.0)
+            grad_g = jnp.where(
+                mask, jax.lax.dynamic_slice(grad, (b,), (qmax,)), 0.0
+            )
+            V = eigvecs[i]
+            lam = eigvals[i]
+            beta_t = V.T @ beta_g
+            g_t = V.T @ grad_g
+            v_t = g_t + lam * beta_t
+            pk = penalty[i]
+
+            def unconstrained(_):
+                x_t, _ = newton_solver(
+                    lam, v_t, l1 * pk, l2 * pk, newton_tol, newton_max_iters
+                )
+                return x_t, mu[i]
+
+            def constrained(_):
+                return _admm_update(
+                    P_pad[i], DH[i], UH[i], v_t, l1 * pk, l2 * pk,
+                    lo_pad[i], hi_pad[i], beta_t, mu[i], rho,
+                    cons_tol, cons_max_iters, newton_tol, newton_max_iters,
+                )
+
+            x_t, mu_i = jax.lax.cond(has_cons[i], constrained, unconstrained,
+                                     None)
+            d_t = x_t - beta_t
+            dnorm2 = jnp.sum(d_t * d_t)
+            thresh = jnp.where(q > 1, (dbeta_tol * dbeta_tol) * qf, 0.0)
+            changed = (dnorm2 > thresh) | (has_cons[i] & (dnorm2 > 0))
+
+            def apply(args):
+                beta, grad, is_active, rsq, mu, convg = args
+                convg_c = jnp.sum(lam * d_t * d_t) / qf
+                convg = jnp.maximum(convg, convg_c)
+                rsq = rsq + jnp.sum(d_t * (2.0 * g_t - d_t * lam))
+                beta_new_g = V @ x_t
+                dbeta_g = jnp.where(mask, beta_new_g - beta_g, 0.0)
+                Acols = jax.lax.dynamic_slice(
+                    A, (jnp.zeros((), b.dtype), b), (S, qmax)
+                )
+                grad = grad - Acols @ dbeta_g
+                new_w = jnp.where(mask, beta_new_g, beta_w)
+                beta = jax.lax.dynamic_update_slice(beta, new_w, (b,))
+                is_active = is_active.at[i].set(True)
+                return beta, grad, is_active, rsq, mu, convg
+
+            beta, grad, is_active, rsq, mu, convg = jax.lax.cond(
+                changed, apply, lambda a: a,
+                (beta, grad, is_active, rsq, mu, convg),
+            )
+            mu = mu.at[i].set(mu_i)
+            return beta, grad, is_active, rsq, mu, convg
+
+        return jax.lax.cond(process, do, lambda a: a,
+                            (beta, grad, is_active, rsq, mu, convg))
+
+    beta, grad, is_active, rsq, mu, convg = jax.lax.fori_loop(
+        0, G, body,
+        (beta0, grad0, is_active0, rsq0, mu0, jnp.zeros((), beta0.dtype)),
+    )
+    return beta, grad, is_active, rsq, mu, convg
+
+
+@jax.jit
+def pin_cov_solve_constrained(
+    A,
+    grad,
+    beta,
+    slot_begin,
+    slot_size,
+    eigvals,
+    eigvecs,
+    penalty,
+    is_active,
+    has_cons,
+    P_pad,
+    DH,
+    UH,
+    lo_pad,
+    hi_pad,
+    mu,
+    rho,
+    cons_tol,
+    cons_max_iters,
+    lmda,
+    alpha,
+    tol,
+    dbeta_tol,
+    newton_tol,
+    newton_max_iters,
+    max_iters,
+    rsq,
+):
+    """Constraint-aware variant of pin.pin_cov_solve.
+
+    Returns (beta, grad, is_active, rsq, mu, iters, converged).
+    """
+    dtype = beta.dtype
+    l1 = lmda * alpha
+    l2 = lmda * (1.0 - alpha)
+    consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+              has_cons, P_pad, DH, UH, lo_pad, hi_pad, rho,
+              cons_tol, cons_max_iters,
+              l1, l2, newton_tol, newton_max_iters, dbeta_tol)
+
+    def active_phase(state):
+        beta, grad, is_active, rsq, mu, iters = state
+
+        def cond(c):
+            _, _, _, _, _, convg, it = c
+            return (convg >= tol) & (it < max_iters)
+
+        def body(c):
+            beta, grad, is_active, rsq, mu, _, it = c
+            beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
+                (beta, grad, is_active, rsq, mu), consts, True
+            )
+            return beta, grad, is_active, rsq, mu, convg, it + 1
+
+        beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
+            (beta, grad, is_active, rsq, mu), consts, True
+        )
+        beta, grad, is_active, rsq, mu, convg, iters = jax.lax.while_loop(
+            cond, body, (beta, grad, is_active, rsq, mu, convg, iters + 1)
+        )
+        return beta, grad, is_active, rsq, mu, iters
+
+    def outer_cond(state):
+        _, _, _, _, _, convg, iters, done = state
+        return (~done) & (iters < max_iters)
+
+    def outer_body(state):
+        beta, grad, is_active, rsq, mu, _, iters, _ = state
+        beta, grad, is_active, rsq, mu, iters = active_phase(
+            (beta, grad, is_active, rsq, mu, iters)
+        )
+        beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
+            (beta, grad, is_active, rsq, mu), consts, False
+        )
+        iters = iters + 1
+        done = convg < tol
+        return beta, grad, is_active, rsq, mu, convg, iters, done
+
+    init = (beta, grad, is_active, rsq, mu, jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    beta, grad, is_active, rsq, mu, convg, iters, done = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+    return beta, grad, is_active, rsq, mu, iters, done

@@ -1,0 +1,198 @@
+"""Constrained grpnet tests (reference tests/test_solver.py constraint
+combinations).
+
+Oracles:
+* separable case (all groups size 1, box constraints): proximal gradient
+  with the EXACT prox  clip(soft_threshold(v, t*lmda), lo, hi),
+* group case: direct KKT verification of the solution,
+* sanity: a huge box must reproduce the unconstrained path exactly.
+"""
+
+import numpy as np
+import pytest
+
+import adelie_tpu as ad
+from adelie_tpu import constraint as ct
+
+
+def _fista_box_lasso(X, y, w, lmda, lo, hi, intercept=True,
+                     max_iters=200000, tol=1e-13, loss="gaussian"):
+    n, p = X.shape
+    Xw = X * w[:, None]
+    L = np.linalg.eigvalsh(X.T @ Xw)[-1] + w.sum()
+    if loss == "logistic":
+        L = 0.25 * L
+    t = 1.0 / max(L, 1e-10)
+    beta = np.zeros(p)
+    b0 = 0.0
+    z, zb0, s = beta.copy(), b0, 1.0
+    for it in range(max_iters):
+        eta = X @ z + zb0
+        if loss == "gaussian":
+            r = w * (eta - y)
+        else:
+            r = w * (1 / (1 + np.exp(-eta)) - y)
+        g = X.T @ r
+        g0 = r.sum() if intercept else 0.0
+        u = z - t * g
+        beta_new = np.clip(np.sign(u) * np.maximum(np.abs(u) - t * lmda, 0), lo, hi)
+        b0_new = zb0 - t * g0 if intercept else 0.0
+        s_new = 0.5 * (1 + np.sqrt(1 + 4 * s * s))
+        z = beta_new + ((s - 1) / s_new) * (beta_new - beta)
+        zb0 = b0_new + ((s - 1) / s_new) * (b0_new - b0)
+        if np.linalg.norm(beta_new - beta) + abs(b0_new - b0) < tol:
+            beta, b0 = beta_new, b0_new
+            break
+        beta, b0, s = beta_new, b0_new, s_new
+    return beta, b0
+
+
+@pytest.mark.parametrize("intercept", [True, False])
+def test_grpnet_box_lasso_vs_fista(intercept):
+    rng = np.random.default_rng(0)
+    n, p = 120, 12
+    X = rng.standard_normal((n, p))
+    beta_true = np.zeros(p)
+    beta_true[:4] = [1.2, -0.8, 0.6, -0.4]
+    y = X @ beta_true + 0.1 * rng.standard_normal(n)
+    w = np.full(n, 1.0 / n)
+    lo = np.full(p, -0.3)
+    hi = np.full(p, 0.5)
+
+    cons = [ct.box(lo[[j]], hi[[j]], configs={"tol": 1e-11}) for j in range(p)]
+
+    state = ad.grpnet(
+        X, ad.glm.gaussian(y), constraints=cons, intercept=intercept,
+        lmda_path_size=10, min_ratio=0.1, tol=1e-10, progress_bar=False,
+        early_exit=False,
+    )
+    assert state.error == "", state.error
+    B = np.asarray(state.betas.todense())
+    assert np.all(B >= lo - 1e-8) and np.all(B <= hi + 1e-8)
+
+    for li in [3, len(state.lmdas) - 1]:
+        lmda = state.lmdas[li]
+        beta_o, b0_o = _fista_box_lasso(X, y, w, lmda, lo, hi, intercept)
+        assert np.allclose(B[li], beta_o, atol=2e-5), (
+            li, np.abs(B[li] - beta_o).max()
+        )
+        if intercept:
+            assert np.isclose(state.intercepts[li], b0_o, atol=2e-5)
+
+
+def test_grpnet_huge_box_equals_unconstrained():
+    rng = np.random.default_rng(1)
+    n, p = 100, 9
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - X[:, 4] + 0.1 * rng.standard_normal(n)
+    groups = np.array([0, 3, 6])
+
+    cons = [None, ct.box(np.full(3, -1e5), np.full(3, 1e5)), None]
+    st_c = ad.grpnet(X, ad.glm.gaussian(y), groups=groups, constraints=cons,
+                     lmda_path_size=8, min_ratio=0.1, tol=1e-10,
+                     progress_bar=False, early_exit=False)
+    st_u = ad.grpnet(X, ad.glm.gaussian(y), groups=groups,
+                     lmda_path_size=8, min_ratio=0.1, tol=1e-10,
+                     progress_bar=False, early_exit=False)
+    assert st_c.error == "" and st_u.error == ""
+    Bc = np.asarray(st_c.betas.todense())
+    Bu = np.asarray(st_u.betas.todense())
+    L = min(len(Bc), len(Bu))
+    assert np.allclose(Bc[:L], Bu[:L], atol=1e-6), np.abs(Bc[:L] - Bu[:L]).max()
+
+
+def test_grpnet_group_box_kkt():
+    """Group lasso with a binding box on one group: verify the KKT system."""
+    rng = np.random.default_rng(2)
+    n, p = 150, 6
+    X = rng.standard_normal((n, p))
+    y = X @ np.r_[1.0, 1.0, 0.8, -0.5, 0.0, 0.0] + 0.05 * rng.standard_normal(n)
+    groups = np.array([0, 2, 4])
+    q = 2
+    lo = np.full(q, -0.25)
+    hi = np.full(q, 0.25)
+    cons = [ct.box(lo, hi, configs={"tol": 1e-11}), None, None]
+
+    state = ad.grpnet(
+        X, ad.glm.gaussian(y), groups=groups, constraints=cons,
+        intercept=False, lmda_path_size=10, min_ratio=0.05, tol=1e-10,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    B = np.asarray(state.betas.todense())
+    # feasibility of the constrained group on the whole path
+    assert np.all(B[:, :2] >= lo[0] - 1e-7)
+    assert np.all(B[:, :2] <= hi[0] + 1e-7)
+
+    w = np.full(n, 1.0 / n)
+    li = len(state.lmdas) - 1
+    lmda = state.lmdas[li]
+    beta = B[li]
+    resid = y - X @ beta
+    grad = X.T @ (w * resid)
+    pen = np.sqrt([2.0, 2.0, 2.0])
+    # constrained group KKT: grad_g = lmda pen d||b_g|| + mu, mu sign-feasible
+    bg = beta[:2]
+    gg = grad[:2]
+    assert np.linalg.norm(bg) > 0
+    mu = gg - lmda * pen[0] * bg / np.linalg.norm(bg)
+    for i in range(2):
+        if bg[i] < hi[i] - 1e-6 and bg[i] > lo[i] + 1e-6:
+            assert abs(mu[i]) <= 5e-4, (i, mu[i])
+    # unconstrained groups: standard stationarity
+    for gi, s in [(1, 2), (2, 4)]:
+        bgg = beta[s:s + 2]
+        ggg = grad[s:s + 2]
+        if np.linalg.norm(bgg) > 0:
+            r = ggg - lmda * pen[gi] * bgg / np.linalg.norm(bgg)
+            assert np.linalg.norm(r) <= 5e-4, (gi, r)
+        else:
+            assert np.linalg.norm(ggg) <= lmda * pen[gi] * (1 + 1e-3)
+
+
+def test_grpnet_logistic_box():
+    rng = np.random.default_rng(3)
+    n, p = 200, 8
+    X = rng.standard_normal((n, p))
+    beta_true = np.zeros(p)
+    beta_true[:3] = [1.5, -1.0, 0.7]
+    prob = 1 / (1 + np.exp(-(X @ beta_true)))
+    y = (rng.uniform(size=n) < prob).astype(float)
+    w = np.full(n, 1.0 / n)
+    lo = np.full(p, -0.4)
+    hi = np.full(p, 0.4)
+    cons = [ct.box(lo[[j]], hi[[j]], configs={"tol": 1e-11}) for j in range(p)]
+
+    state = ad.grpnet(
+        X, ad.glm.binomial(y), constraints=cons, intercept=True,
+        lmda_path_size=8, min_ratio=0.1, tol=1e-9, irls_tol=1e-10,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    B = np.asarray(state.betas.todense())
+    assert np.all(B >= lo - 1e-7) and np.all(B <= hi + 1e-7)
+
+    li = len(state.lmdas) - 1
+    beta_o, b0_o = _fista_box_lasso(
+        X, y, w, state.lmdas[li], lo, hi, True, loss="logistic"
+    )
+    assert np.allclose(B[li], beta_o, atol=5e-4), np.abs(B[li] - beta_o).max()
+
+
+def test_grpnet_one_sided_nonneg():
+    """Non-negativity (lower=0) constrained lasso: solution >= 0."""
+    rng = np.random.default_rng(4)
+    n, p = 100, 10
+    X = rng.standard_normal((n, p))
+    y = X @ np.r_[1.0, -1.0, np.zeros(p - 2)] + 0.05 * rng.standard_normal(n)
+    cons = [ct.lower(np.zeros(1)) for _ in range(p)]
+    state = ad.grpnet(X, ad.glm.gaussian(y), constraints=cons,
+                      lmda_path_size=8, min_ratio=0.05, tol=1e-10,
+                      progress_bar=False, early_exit=False)
+    assert state.error == "", state.error
+    B = np.asarray(state.betas.todense())
+    assert np.all(B >= -1e-8)
+    # the positive feature should eventually enter
+    assert B[-1, 0] > 0.5
+    # the negative one must be pinned at 0
+    assert np.all(np.abs(B[:, 1]) <= 1e-8)
