@@ -1,0 +1,270 @@
+"""SNP file IO (reference adelie/io.py, io_snp_unphased.{hpp,ipp},
+io_snp_phased_ancestry.{hpp,ipp}).
+
+The codec is native C++ (adelie_tpu/src/snpio.cpp — the chunked-sparse
+``.snpdat`` encoding, 256-element chunks) compiled once into a shared
+library and driven via ctypes.  ``read`` decodes straight into the 2-bit
+packed column-major layout consumed on-device by the SNP matrix classes.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+
+
+def _lib_path():
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, "_snpio.so")
+
+
+def _build_lib():
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "src", "snpio.cpp")
+    out = _lib_path()
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def _get_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        path = _lib_path()
+        src = os.path.join(os.path.dirname(path), "src", "snpio.cpp")
+        if (not os.path.exists(path)) or (
+            os.path.getmtime(path) < os.path.getmtime(src)
+        ):
+            _build_lib()
+        lib = ctypes.CDLL(path)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.snpio_unphased_write.restype = ctypes.c_uint64
+        lib.snpio_unphased_write.argtypes = [
+            ctypes.c_char_p, i8p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int, f64p,
+        ]
+        lib.snpio_unphased_header.restype = ctypes.c_int
+        lib.snpio_unphased_header.argtypes = [ctypes.c_char_p, u64p, u64p]
+        lib.snpio_unphased_read_packed.restype = ctypes.c_int
+        lib.snpio_unphased_read_packed.argtypes = [
+            ctypes.c_char_p, u8p, u64p, u64p, f64p,
+        ]
+        lib.snpio_unphased_read_dense.restype = ctypes.c_int
+        lib.snpio_unphased_read_dense.argtypes = [ctypes.c_char_p, i8p]
+        lib.snpio_phased_write.restype = ctypes.c_uint64
+        lib.snpio_phased_write.argtypes = [
+            ctypes.c_char_p, i8p, i8p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64,
+        ]
+        lib.snpio_phased_header.restype = ctypes.c_int
+        lib.snpio_phased_header.argtypes = [ctypes.c_char_p, u64p, u64p, u64p]
+        lib.snpio_phased_read_packed.restype = ctypes.c_int
+        lib.snpio_phased_read_packed.argtypes = [
+            ctypes.c_char_p, u8p, u64p, u64p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def _i8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _f64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class snp_unphased:
+    """IO handler for SNP unphased matrices (reference io.py:114).
+
+    Values in {0, 1, 2, NA} (any negative value is NA).
+    """
+
+    def __init__(self, filename, read_mode: str = "file"):
+        self.filename = str(filename)
+        self.read_mode = read_mode
+        self._read = False
+
+    def write(self, calldata, impute_method: str = "mean", n_threads: int = 1):
+        """Write dense (n, p) int8 calldata to ``.snpdat``; returns
+        (total_bytes, benchmark)."""
+        from .utils import Stopwatch
+
+        sw = Stopwatch().start()
+        calldata = np.asarray(calldata, np.int8)
+        n, p = calldata.shape
+        if np.any(calldata > 2):
+            raise ValueError(
+                "Detected a value greater than > 2. Make sure calldata "
+                "only contains values <= 2."
+            )
+        method = {"mean": 0, "zero": 1}[impute_method]
+        callf = np.asfortranarray(calldata)
+        impute = np.zeros(p, np.float64)
+        total = _get_lib().snpio_unphased_write(
+            self.filename.encode(), _i8p(callf), n, p, method, _f64p(impute)
+        )
+        if total == 0:
+            raise RuntimeError("snp_unphased write failed")
+        return int(total), {"total": sw.elapsed()}
+
+    def read(self):
+        """Load the file; populates rows/snps/impute/nnz/nnm/packed."""
+        lib = _get_lib()
+        n = np.zeros(1, np.uint64)
+        p = np.zeros(1, np.uint64)
+        if not lib.snpio_unphased_header(self.filename.encode(), _u64p(n), _u64p(p)):
+            raise RuntimeError(f"cannot read {self.filename}")
+        n, p = int(n[0]), int(p[0])
+        nb = (n + 3) // 4
+        packed = np.zeros((p, nb), np.uint8)  # row j = column j's bytes
+        nnz = np.zeros(p, np.uint64)
+        nnm = np.zeros(p, np.uint64)
+        impute = np.zeros(p, np.float64)
+        ok = lib.snpio_unphased_read_packed(
+            self.filename.encode(), _u8p(packed), _u64p(nnz), _u64p(nnm),
+            _f64p(impute),
+        )
+        if not ok:
+            raise RuntimeError(f"decode failed for {self.filename}")
+        self._rows, self._snps = n, p
+        self.nnz = nnz.astype(np.int64)
+        self.nnm = nnm.astype(np.int64)
+        self.impute = impute
+        self.packed = packed  # (p, ceil(n/4)) uint8, 2-bit entries, 3 = NA
+        self._read = True
+        return self
+
+    def rows(self):
+        self._ensure()
+        return self._rows
+
+    def snps(self):
+        self._ensure()
+        return self._snps
+
+    def cols(self):
+        return self.snps()
+
+    def _ensure(self):
+        if not self._read:
+            self.read()
+
+    def to_dense(self, n_threads: int = 1):
+        """Dense int8 (n, p) with NA = -9 (reference to_dense)."""
+        self._ensure()
+        lib = _get_lib()
+        out = np.zeros((self._snps, self._rows), np.int8)  # col-major via T
+        ok = lib.snpio_unphased_read_dense(self.filename.encode(), _i8p(out))
+        if not ok:
+            raise RuntimeError("decode failed")
+        return out.T
+
+
+class snp_phased_ancestry:
+    """IO handler for phased calldata x local ancestry (reference io.py:6).
+
+    Matrix semantics: (n, s*A); column s*A + a sums haplotype calls with
+    ancestry a (values 0/1/2).
+    """
+
+    def __init__(self, filename, read_mode: str = "file"):
+        self.filename = str(filename)
+        self.read_mode = read_mode
+        self._read = False
+
+    def write(self, calldata, ancestries, A: int, n_threads: int = 1):
+        from .utils import Stopwatch
+
+        sw = Stopwatch().start()
+        calldata = np.asarray(calldata, np.int8)
+        ancestries = np.asarray(ancestries, np.int8)
+        if calldata.shape != ancestries.shape or calldata.shape[1] % 2:
+            raise ValueError(
+                "calldata and ancestries must have shape (n, 2*s)."
+            )
+        if np.any((calldata < 0) | (calldata > 1)):
+            raise ValueError("calldata must only contain 0/1.")
+        if np.any((ancestries < 0) | (ancestries >= A)):
+            raise ValueError("ancestries must be in {0, ..., A-1}.")
+        n, s2 = calldata.shape
+        callf = np.asfortranarray(calldata)
+        ancf = np.asfortranarray(ancestries)
+        total = _get_lib().snpio_phased_write(
+            self.filename.encode(), _i8p(callf), _i8p(ancf), n, s2, A
+        )
+        if total == 0:
+            raise RuntimeError("snp_phased_ancestry write failed")
+        return int(total), {"total": sw.elapsed()}
+
+    def read(self):
+        lib = _get_lib()
+        n = np.zeros(1, np.uint64)
+        s = np.zeros(1, np.uint64)
+        A = np.zeros(1, np.uint64)
+        if not lib.snpio_phased_header(self.filename.encode(), _u64p(n),
+                                       _u64p(s), _u64p(A)):
+            raise RuntimeError(f"cannot read {self.filename}")
+        n, s, A = int(n[0]), int(s[0]), int(A[0])
+        nb = (n + 3) // 4
+        packed = np.zeros((s * A, nb), np.uint8)
+        nnz0 = np.zeros(s * A, np.uint64)
+        nnz1 = np.zeros(s * A, np.uint64)
+        ok = lib.snpio_phased_read_packed(
+            self.filename.encode(), _u8p(packed), _u64p(nnz0), _u64p(nnz1)
+        )
+        if not ok:
+            raise RuntimeError(f"decode failed for {self.filename}")
+        self._rows, self._snps, self._ancestries = n, s, A
+        self.nnz0 = nnz0.astype(np.int64)
+        self.nnz1 = nnz1.astype(np.int64)
+        self.packed = packed  # (s*A, ceil(n/4)) 2-bit values 0..2
+        self._read = True
+        return self
+
+    def rows(self):
+        self._ensure()
+        return self._rows
+
+    def snps(self):
+        self._ensure()
+        return self._snps
+
+    def ancestries(self):
+        self._ensure()
+        return self._ancestries
+
+    def cols(self):
+        self._ensure()
+        return self._snps * self._ancestries
+
+    def _ensure(self):
+        if not self._read:
+            self.read()
+
+    def to_dense(self, n_threads: int = 1):
+        """Dense int8 (n, s*A) of haplotype-sum counts."""
+        self._ensure()
+        from .matrix._snp import unpack_2bit_np
+
+        return unpack_2bit_np(self.packed, self._rows).T.astype(np.int8)

@@ -57,7 +57,7 @@ def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
     if method == "cov":
         return MatrixCovDense(mat, dtype=dtype)
     if method == "constraint":
-        from .constraint_mat import MatrixConstraintDense
+        from ._constraint_mat import MatrixConstraintDense
 
         return MatrixConstraintDense(mat, dtype=dtype)
     raise ValueError(f"Unknown method: {method}")
@@ -143,14 +143,14 @@ def subset(mat, indices, *, axis: int = 1, n_threads: int = 1):
 
 def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
     """Sparse matrix (reference matrix.py:1301)."""
-    from .sparse import MatrixCovSparse, MatrixNaiveSparse
+    from ._sparse import MatrixCovSparse, MatrixNaiveSparse
 
     if method == "naive":
         return MatrixNaiveSparse(mat, dtype=dtype)
     if method == "cov":
         return MatrixCovSparse(mat, dtype=dtype)
     if method == "constraint":
-        from .constraint_mat import MatrixConstraintSparse
+        from ._constraint_mat import MatrixConstraintSparse
 
         return MatrixConstraintSparse(mat, dtype=dtype)
     raise ValueError(f"Unknown method: {method}")
@@ -158,35 +158,35 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
 
 def one_hot(mat, levels=None, *, n_threads: int = 1):
     """Implicit one-hot expansion of discrete columns (reference matrix.py:1073)."""
-    from .one_hot import MatrixNaiveOneHotDense
+    from ._one_hot import MatrixNaiveOneHotDense
 
     return MatrixNaiveOneHotDense(mat, levels)
 
 
 def interaction(mat, intr_map, levels=None, *, n_threads: int = 1):
     """Implicit pairwise-interaction expansion (reference matrix.py:721)."""
-    from .interaction import MatrixNaiveInteractionDense
+    from ._interaction import MatrixNaiveInteractionDense
 
     return MatrixNaiveInteractionDense(mat, intr_map, levels)
 
 
 def snp_unphased(io, *, n_threads: int = 1, dtype=None):
     """Packed SNP unphased matrix (reference matrix.py:1245)."""
-    from .snp import MatrixNaiveSNPUnphased
+    from ._snp import MatrixNaiveSNPUnphased
 
     return MatrixNaiveSNPUnphased(io, dtype=dtype)
 
 
 def snp_phased_ancestry(io, *, n_threads: int = 1, dtype=None):
     """Phased calldata x local-ancestry matrix (reference matrix.py:1189)."""
-    from .snp import MatrixNaiveSNPPhasedAncestry
+    from ._snp import MatrixNaiveSNPPhasedAncestry
 
     return MatrixNaiveSNPPhasedAncestry(io, dtype=dtype)
 
 
 def convex_relu(mat, mask, *, gated: bool = False, n_threads: int = 1):
     """Implicit ``[relu(XD), -relu(XD)]`` expansion (reference matrix.py:390)."""
-    from .convex_relu import MatrixNaiveConvexGatedRelu, MatrixNaiveConvexRelu
+    from ._convex_relu import MatrixNaiveConvexGatedRelu, MatrixNaiveConvexRelu
 
     cls = MatrixNaiveConvexGatedRelu if gated else MatrixNaiveConvexRelu
     return cls(mat, mask)

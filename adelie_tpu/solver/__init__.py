@@ -201,6 +201,10 @@ def grpnet(
             rsq=rsq, resid=resid, resid_sum=resid_sum, **common,
         )
         state.grad = grad
+        # attach glm/offsets for diagnostics + CV (reference keeps the glm
+        # inside the state wrapper, state.py create_from_core)
+        state.glm = glm
+        state.offsets = offs
         if has_constraints:
             from .constrained import ConstrainedGaussianDriver
 

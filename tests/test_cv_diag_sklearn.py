@@ -1,0 +1,174 @@
+"""CV, diagnostics, and sklearn estimator tests (reference tests/
+test_diagnostic.py smoke pattern + sklearn integration)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import adelie_tpu as ad
+from adelie_tpu import diagnostic as dg
+
+
+def _data(n=100, p=12, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[:3] = [1.0, -0.8, 0.5]
+    y = X @ beta + 0.2 * rng.standard_normal(n)
+    return X, y
+
+
+def test_predict_and_coefficient():
+    X, y = _data()
+    state = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=10,
+                      min_ratio=0.05, progress_bar=False)
+    etas = dg.predict(X, state.betas, state.intercepts)
+    B = np.asarray(state.betas.todense())
+    expect = X @ B.T + np.asarray(state.intercepts)[None, :]
+    np.testing.assert_allclose(etas, expect.T, atol=1e-8)
+
+    # interpolation at midpoint
+    lm = np.sqrt(state.lmdas[2] * state.lmdas[3])
+    beta_i, b0_i = dg.coefficient(lm, state.betas, state.intercepts,
+                                  state.lmdas)
+    w = (lm - state.lmdas[3]) / (state.lmdas[2] - state.lmdas[3])
+    expect_b = w * B[2] + (1 - w) * B[3]
+    np.testing.assert_allclose(np.asarray(beta_i.todense())[0], expect_b,
+                               atol=1e-10)
+
+
+def test_objective_residuals_gradients():
+    X, y = _data()
+    glm = ad.glm.gaussian(y)
+    state = ad.grpnet(X, glm, lmda_path_size=8, min_ratio=0.1,
+                      progress_bar=False)
+    objs = dg.objective(X, glm, state.betas, state.intercepts, state.lmdas)
+    assert np.all(np.isfinite(objs))
+    etas = dg.predict(X, state.betas, state.intercepts)
+    resids = dg.residuals(glm, etas)
+    w = np.full(len(y), 1 / len(y))
+    np.testing.assert_allclose(resids[0], w * (y - etas[0]), atol=1e-9)
+    grads = dg.gradients(X, resids)
+    np.testing.assert_allclose(grads[0], X.T @ resids[0], atol=1e-9)
+
+    gn = dg.gradient_norms(grads, state.betas, None, state.lmdas)
+    # at each solution, active coordinate scores equal lambda (KKT)
+    scores = dg.gradient_scores(gn, state.lmdas, penalty=np.ones(X.shape[1]))
+    B = np.asarray(state.betas.todense())
+    for li in range(len(state.lmdas)):
+        active = np.abs(B[li]) > 1e-10
+        if active.any():
+            np.testing.assert_allclose(
+                scores[li][active], state.lmdas[li], rtol=5e-4
+            )
+
+
+def test_diagnostic_class_and_plots():
+    X, y = _data()
+    state = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=8,
+                      min_ratio=0.1, progress_bar=False)
+    d = dg.diagnostic(state)
+    assert isinstance(d, dg.DiagnosticNaive)
+    etas = d.predict()
+    assert etas.shape == (len(state.lmdas), len(y))
+    gn = d.gradient_norms()
+    assert gn.shape == (len(state.lmdas), X.shape[1])
+    for fn in [d.plot_coefficients, d.plot_devs, d.plot_set_sizes,
+               d.plot_benchmark, d.plot_kkt]:
+        fig, ax = fn()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+
+def test_cv_grpnet():
+    X, y = _data(n=120, p=10, seed=1)
+    res = ad.cv_grpnet(X, ad.glm.gaussian(y), n_folds=3, seed=0,
+                       lmda_path_size=20, min_ratio=0.05)
+    assert res.losses.shape == (3, 20)
+    assert np.all(np.isfinite(res.avg_losses))
+    # loss curve should dip: best index not at the very start
+    assert 0 <= res.best_idx < 20
+
+    state = res.fit(X, ad.glm.gaussian(y))
+    assert state.error == ""
+    # refit path ends at the chosen lambda
+    assert np.isclose(state.lmdas[-1], res.lmdas[res.best_idx], rtol=1e-6)
+
+    fig, ax = res.plot_loss()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_cv_binomial():
+    rng = np.random.default_rng(3)
+    n, p = 150, 8
+    X = rng.standard_normal((n, p))
+    prob = 1 / (1 + np.exp(-X[:, 0] + X[:, 1]))
+    y = (rng.uniform(size=n) < prob).astype(float)
+    res = ad.cv_grpnet(X, ad.glm.binomial(y), n_folds=3, seed=1,
+                       lmda_path_size=15)
+    assert np.all(np.isfinite(res.avg_losses))
+
+
+def test_sklearn_gaussian():
+    from adelie_tpu.sklearn import GroupElasticNet
+
+    X, y = _data(n=150, p=10, seed=2)
+    est = GroupElasticNet(family="gaussian")
+    est.fit(X, y, progress_bar=False)
+    assert est.coef_.shape[1] == X.shape[1]
+    score = est.score(X, y)
+    assert 0.5 < score <= 1.0
+
+    est_cv = GroupElasticNet(solver="cv_grpnet", family="gaussian")
+    est_cv.fit(X, y, progress_bar=False)
+    yhat = est_cv.predict(X)
+    assert yhat.shape == y.shape
+    assert est_cv.score(X, y) > 0.5
+
+
+def test_sklearn_binomial():
+    from adelie_tpu.sklearn import GroupElasticNet
+
+    rng = np.random.default_rng(5)
+    n, p = 150, 6
+    X = rng.standard_normal((n, p))
+    prob = 1 / (1 + np.exp(-(1.5 * X[:, 0] - X[:, 1])))
+    y = (rng.uniform(size=n) < prob).astype(float)
+    est = GroupElasticNet(family="binomial")
+    est.fit(X, y, progress_bar=False)
+    proba = est.predict_proba(X)
+    assert proba.shape == (len(state_rows := est.coef_.shape[0]), n, 2)[1:] \
+        or proba.ndim == 3
+    preds = est.predict(X)
+    acc = (preds[-1] == y).mean() if preds.ndim == 2 else (preds == y).mean()
+    assert acc > 0.6
+
+
+def test_sklearn_validation():
+    from adelie_tpu.sklearn import GroupElasticNet
+
+    with pytest.raises(ValueError):
+        GroupElasticNet(solver="bogus").fit(np.eye(3), np.ones(3))
+    with pytest.raises(ValueError):
+        GroupElasticNet(family="bogus").fit(np.eye(3), np.ones(3))
+
+
+def test_css_model_selection():
+    from adelie_tpu.sklearn import CSSModelSelection
+
+    rng = np.random.default_rng(7)
+    n, k_true, p = 500, 2, 6
+    F = rng.standard_normal((n, k_true))
+    W = rng.standard_normal((k_true, p))
+    X = F @ W + 0.05 * rng.standard_normal((n, p))
+    est = CSSModelSelection(alpha=0.05, n_inits=3, n_sims=2000, seed=0)
+    est.fit(X)
+    # should find a small subset that reconstructs the rest
+    assert len(est.subset_) <= p - 1
+    assert np.isfinite(est.score(X))

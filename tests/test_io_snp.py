@@ -1,0 +1,124 @@
+"""SNP IO round-trips + SNP matrix classes vs dense (reference
+tests/test_io.py:15,72 and test_matrix.py SNP sections)."""
+
+import numpy as np
+import pytest
+
+import adelie_tpu as ad
+from adelie_tpu import matrix as mx
+
+
+def _unphased_data(n, p, seed=0, missing=0.15):
+    rng = np.random.default_rng(seed)
+    probs = np.array([0.55, 0.25, 0.05, 0.15])
+    probs[3] = missing
+    probs[0] = 1 - probs[1:].sum()
+    vals = np.array([0, 1, 2, -9], dtype=np.int8)
+    return vals[rng.choice(4, size=(n, p), p=probs)]
+
+
+@pytest.mark.parametrize("n,p", [(20, 6), (300, 25), (257, 3)])
+def test_unphased_roundtrip(n, p, tmp_path):
+    X = _unphased_data(n, p, seed=n + p)
+    f = str(tmp_path / "test.snpdat")
+    handler = ad.io.snp_unphased(f)
+    total, bench = handler.write(X, impute_method="mean")
+    assert total > 0
+
+    rd = ad.io.snp_unphased(f).read()
+    assert rd.rows() == n and rd.snps() == p
+    dense = rd.to_dense()
+    np.testing.assert_array_equal(dense, X)
+
+    # impute means over non-missing
+    for j in range(p):
+        col = X[:, j]
+        nm = col >= 0
+        expect = col[nm].mean() if nm.any() else 0.0
+        assert np.isclose(rd.impute[j], expect), j
+        assert rd.nnm[j] == nm.sum()
+        assert rd.nnz[j] == np.sum(col != 0)
+
+
+def test_unphased_write_invalid(tmp_path):
+    X = np.full((5, 2), 3, np.int8)
+    handler = ad.io.snp_unphased(str(tmp_path / "bad.snpdat"))
+    with pytest.raises(ValueError):
+        handler.write(X)
+
+
+@pytest.mark.parametrize("n,s,A", [(30, 5, 3), (260, 4, 2)])
+def test_phased_roundtrip(n, s, A, tmp_path):
+    rng = np.random.default_rng(s * A)
+    call = rng.binomial(1, 0.3, size=(n, 2 * s)).astype(np.int8)
+    anc = rng.integers(0, A, size=(n, 2 * s)).astype(np.int8)
+    f = str(tmp_path / "test.snpdat")
+    handler = ad.io.snp_phased_ancestry(f)
+    total, bench = handler.write(call, anc, A)
+    assert total > 0
+
+    rd = ad.io.snp_phased_ancestry(f).read()
+    assert rd.rows() == n and rd.snps() == s and rd.ancestries() == A
+    dense = rd.to_dense()
+    expect = np.zeros((n, s * A), np.int8)
+    for j in range(s):
+        for hap in range(2):
+            sel = call[:, 2 * j + hap] == 1
+            expect[sel, j * A + anc[sel, 2 * j + hap]] += 1
+    np.testing.assert_array_equal(dense, expect)
+
+
+def test_snp_unphased_matrix(tmp_path):
+    from test_matrix import run_suite
+
+    n, p = 40, 12
+    X = _unphased_data(n, p, seed=7)
+    f = str(tmp_path / "m.snpdat")
+    ad.io.snp_unphased(f).write(X)
+    io = ad.io.snp_unphased(f).read()
+    m = mx.snp_unphased(io)
+
+    impute = io.impute
+    dense = np.where(X == -9, impute[None, :], X).astype(np.float64)
+    run_suite(m, dense)
+
+
+def test_snp_phased_matrix(tmp_path):
+    from test_matrix import run_suite
+
+    n, s, A = 35, 4, 3
+    rng = np.random.default_rng(9)
+    call = rng.binomial(1, 0.4, size=(n, 2 * s)).astype(np.int8)
+    anc = rng.integers(0, A, size=(n, 2 * s)).astype(np.int8)
+    f = str(tmp_path / "ph.snpdat")
+    ad.io.snp_phased_ancestry(f).write(call, anc, A)
+    io = ad.io.snp_phased_ancestry(f).read()
+    m = mx.snp_phased_ancestry(io)
+
+    dense = np.zeros((n, s * A))
+    for j in range(s):
+        for hap in range(2):
+            sel = call[:, 2 * j + hap] == 1
+            dense[sel, j * A + anc[sel, 2 * j + hap]] += 1
+    run_suite(m, dense)
+
+
+def test_grpnet_snp(tmp_path):
+    """End-to-end GWAS-style lasso on the packed SNP matrix vs dense."""
+    data = ad.data.snp_unphased(150, 30, seed=3)
+    f = str(tmp_path / "g.snpdat")
+    ad.io.snp_unphased(f).write(data["X"])
+    io = ad.io.snp_unphased(f).read()
+    m = mx.snp_unphased(io)
+    glm = data["glm"]
+
+    st1 = ad.grpnet(m, glm, lmda_path_size=12, min_ratio=0.05,
+                    progress_bar=False)
+    dense = np.where(data["X"] == -9, io.impute[None, :], data["X"]).astype(float)
+    st2 = ad.grpnet(dense, glm, lmda_path_size=12, min_ratio=0.05,
+                    progress_bar=False)
+    B1 = np.asarray(st1.betas.todense())
+    B2 = np.asarray(st2.betas.todense())
+    L = min(len(B1), len(B2))
+    assert L >= 5
+    assert np.allclose(B1[:L], B2[:L], atol=1e-7), np.abs(B1[:L] - B2[:L]).max()

@@ -1,0 +1,216 @@
+"""Structured matrix classes vs dense numpy ground truth
+(reference tests/test_matrix.py pattern for sparse/one_hot/interaction/
+convex_relu/constraint matrices)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from adelie_tpu import matrix as mx
+from test_matrix import run_suite
+
+
+def _one_hot_dense(Z, levels):
+    cols = []
+    for g in range(Z.shape[1]):
+        if levels[g] <= 0:
+            cols.append(Z[:, g:g + 1])
+        else:
+            I = np.zeros((Z.shape[0], levels[g]))
+            I[np.arange(Z.shape[0]), Z[:, g].astype(int)] = 1.0
+            cols.append(I)
+    return np.concatenate(cols, axis=1)
+
+
+def _interaction_dense(Z, pairs, levels):
+    def ind(v, L):
+        I = np.zeros((len(v), L))
+        I[np.arange(len(v)), v.astype(int)] = 1.0
+        return I
+
+    def star(A, B):
+        cols = []
+        for b in range(B.shape[1]):
+            for a in range(A.shape[1]):
+                cols.append(A[:, a] * B[:, b])
+        return np.stack(cols, axis=1)
+
+    blocks = []
+    for (i, j) in pairs:
+        Li, Lj = levels[i], levels[j]
+        Zi, Zj = Z[:, i], Z[:, j]
+        if Li <= 0 and Lj <= 0:
+            blocks.append(np.stack([Zi, Zj, Zi * Zj], axis=1))
+        elif Li <= 0 < Lj:
+            A = np.stack([np.ones_like(Zi), Zi], axis=1)
+            blocks.append(star(A, ind(Zj, Lj)))
+        elif Lj <= 0 < Li:
+            B = np.stack([np.ones_like(Zj), Zj], axis=1)
+            blocks.append(star(ind(Zi, Li), B))
+        else:
+            blocks.append(star(ind(Zi, Li), ind(Zj, Lj)))
+    return np.concatenate(blocks, axis=1)
+
+
+@pytest.mark.parametrize("n,p,density", [(25, 10, 0.3), (40, 15, 0.1)])
+def test_sparse_naive(n, p, density):
+    rng = np.random.default_rng(0)
+    Z = rng.standard_normal((n, p)) * (rng.uniform(size=(n, p)) < density)
+    m = mx.sparse(sp.csc_matrix(Z))
+    run_suite(m, Z)
+
+
+def test_sparse_cov():
+    rng = np.random.default_rng(1)
+    Z = rng.standard_normal((30, 8)) * (rng.uniform(size=(30, 8)) < 0.4)
+    A = Z.T @ Z
+    m = mx.sparse(sp.csc_matrix(A), method="cov")
+    rows = np.array([0, 3, 5])
+    cols = np.array([1, 2, 7])
+    np.testing.assert_allclose(
+        np.asarray(m.block(rows, cols)), A[np.ix_(rows, cols)], atol=1e-10
+    )
+    vals = rng.standard_normal(3)
+    np.testing.assert_allclose(
+        np.asarray(m.mul(cols, vals)), A[:, cols] @ vals, atol=1e-10
+    )
+
+
+def test_one_hot():
+    rng = np.random.default_rng(2)
+    n, d = 30, 5
+    levels = np.array([0, 3, 0, 4, 2])
+    Z = rng.standard_normal((n, d))
+    for g in range(d):
+        if levels[g] > 0:
+            Z[:, g] = rng.integers(0, levels[g], n)
+    dense = _one_hot_dense(Z, levels)
+    m = mx.one_hot(Z, levels)
+
+    rng2 = np.random.default_rng(3)
+    v = rng2.standard_normal(n)
+    w = np.abs(rng2.standard_normal(n)) + 0.01
+    w /= w.sum()
+    np.testing.assert_allclose(np.asarray(m.mul(v, w)), dense.T @ (w * v), atol=1e-9)
+    idx = rng2.choice(dense.shape[1], 6, replace=False).astype(np.int32)
+    np.testing.assert_allclose(np.asarray(m.gather(idx)), dense[:, idx], atol=1e-12)
+    beta = rng2.standard_normal(dense.shape[1])
+    np.testing.assert_allclose(np.asarray(m.tmul(beta)), dense @ beta, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m.sq_mul(w)), (dense**2).T @ w, atol=1e-9)
+    # discrete blocks: mean 0 / var 1 (reference one_hot.ipp:560-591)
+    mean = np.asarray(m.mean(w))
+    var = np.asarray(m.var(mean, w))
+    expect_mean = dense.T @ w
+    j = 0
+    for g in range(d):
+        width = max(levels[g], 1)
+        if levels[g] > 0:
+            assert np.all(mean[j:j + width] == 0)
+            assert np.all(var[j:j + width] == 1)
+        else:
+            np.testing.assert_allclose(mean[j], expect_mean[j], atol=1e-9)
+        j += width
+
+
+@pytest.mark.parametrize("case", ["cont-cont", "cont-disc", "disc-cont", "disc-disc", "mixed"])
+def test_interaction(case):
+    rng = np.random.default_rng(4)
+    n, d = 25, 4
+    levels = {
+        "cont-cont": np.array([0, 0, 0, 0]),
+        "cont-disc": np.array([0, 3, 0, 2]),
+        "disc-cont": np.array([3, 0, 2, 0]),
+        "disc-disc": np.array([2, 3, 2, 2]),
+        "mixed": np.array([0, 3, 0, 2]),
+    }[case]
+    Z = rng.standard_normal((n, d))
+    for g in range(d):
+        if levels[g] > 0:
+            Z[:, g] = rng.integers(0, levels[g], n)
+    intr_map = {0: [1, 2], 2: [3], 1: None} if case == "mixed" else {0: None, 1: [2, 3]}
+    m = mx.interaction(Z, intr_map, levels)
+    dense = _interaction_dense(Z, m.pairs, levels)
+    assert m.cols() == dense.shape[1]
+
+    rng2 = np.random.default_rng(5)
+    v = rng2.standard_normal(n)
+    w = np.abs(rng2.standard_normal(n)) + 0.01
+    w /= w.sum()
+    np.testing.assert_allclose(np.asarray(m.mul(v, w)), dense.T @ (w * v), atol=1e-9)
+    idx = rng2.choice(dense.shape[1], min(8, dense.shape[1]), replace=False).astype(np.int32)
+    np.testing.assert_allclose(np.asarray(m.gather(idx)), dense[:, idx], atol=1e-12)
+    beta = rng2.standard_normal(dense.shape[1])
+    np.testing.assert_allclose(np.asarray(m.tmul(beta)), dense @ beta, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m.sq_mul(w)), (dense**2).T @ w, atol=1e-9)
+    with pytest.raises(NotImplementedError):
+        m.mean(w)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_convex_relu(gated):
+    rng = np.random.default_rng(6)
+    n, d, mgates = 20, 4, 3
+    Z = rng.standard_normal((n, d))
+    mask = rng.uniform(size=(n, mgates)) < 0.5
+    Y = np.concatenate([mask[:, [k]] * Z for k in range(mgates)], axis=1)
+    dense = Y if gated else np.concatenate([Y, -Y], axis=1)
+    m = mx.convex_relu(Z, mask, gated=gated)
+    run_suite(m, dense)
+
+
+def test_constraint_dense_sparse():
+    rng = np.random.default_rng(7)
+    m_, d = 6, 4
+    A = rng.standard_normal((m_, d)) * (rng.uniform(size=(m_, d)) < 0.6)
+    for M in [mx.dense(A, method="constraint"),
+              mx.sparse(sp.csr_matrix(A), method="constraint")]:
+        assert (M.rows(), M.cols()) == (m_, d)
+        Q = rng.standard_normal((d, d))
+        np.testing.assert_allclose(np.asarray(M.rmmul(2, Q)), A[2] @ Q, atol=1e-10)
+        v = rng.standard_normal(d)
+        np.testing.assert_allclose(float(M.rvmul(1, v)), A[1] @ v, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(M.rvtmul(3, 2.5)), 2.5 * A[3], atol=1e-10)
+        u = rng.standard_normal(m_)
+        np.testing.assert_allclose(np.asarray(M.mul(u)), A.T @ u, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(M.tmul(v)), A @ v, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(M.cov(Q)), A @ Q @ A.T, atol=1e-10)
+        idx = np.array([0, 2, 4])
+        vals = rng.standard_normal(3)
+        np.testing.assert_allclose(
+            np.asarray(M.sp_mul(idx, vals)), A[idx].T @ vals, atol=1e-10
+        )
+
+
+def test_grpnet_on_structured():
+    """End-to-end: grpnet on one_hot and sparse matrices matches dense."""
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(8)
+    n, d = 80, 4
+    levels = np.array([0, 3, 0, 2])
+    Z = rng.standard_normal((n, d))
+    for g in range(d):
+        if levels[g] > 0:
+            Z[:, g] = rng.integers(0, levels[g], n)
+    dense = _one_hot_dense(Z, levels)
+    y = dense @ rng.standard_normal(dense.shape[1]) + 0.1 * rng.standard_normal(n)
+    glm = ad.glm.gaussian(y)
+
+    st1 = ad.grpnet(mx.one_hot(Z, levels), glm, lmda_path_size=10,
+                    min_ratio=0.1, progress_bar=False, early_exit=False)
+    st2 = ad.grpnet(dense, glm, lmda_path_size=10, min_ratio=0.1,
+                    progress_bar=False, early_exit=False)
+    B1 = np.asarray(st1.betas.todense())
+    B2 = np.asarray(st2.betas.todense())
+    assert np.allclose(B1, B2, atol=1e-7), np.abs(B1 - B2).max()
+
+    Zs = Z * (rng.uniform(size=Z.shape) < 0.5)
+    ys = Zs @ rng.standard_normal(d) + 0.1 * rng.standard_normal(n)
+    st3 = ad.grpnet(mx.sparse(sp.csc_matrix(Zs)), ad.glm.gaussian(ys),
+                    lmda_path_size=10, min_ratio=0.1, progress_bar=False)
+    st4 = ad.grpnet(Zs, ad.glm.gaussian(ys), lmda_path_size=10,
+                    min_ratio=0.1, progress_bar=False)
+    B3 = np.asarray(st3.betas.todense())
+    B4 = np.asarray(st4.betas.todense())
+    L = min(len(B3), len(B4))
+    assert np.allclose(B3[:L], B4[:L], atol=1e-7)
