@@ -248,6 +248,47 @@ def root(*, quad, linear, l1, l2=0.0, tol=1e-12, max_iters=1000):
     return float(jnp.sqrt(jnp.sum(x * x)))
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters", "accel", "adares"))
+def _ista_jit(quad, linear, l1, l2, tol, max_iters, accel, adares):
+    """(F)ISTA on the block update (reference bcd/unconstrained/ista.hpp:
+    10-94): proximal gradient with step 1/L, L = max(quad) + l2; the prox of
+    l1||.||_2 is the group soft-threshold.  ``accel`` adds Nesterov
+    momentum; ``adares`` adds adaptive restart (momentum reset when the
+    update opposes the velocity)."""
+    q = quad + l2
+    L = jnp.maximum(jnp.max(q), 1e-30)
+    t = 1.0 / L
+
+    def prox(u):
+        nrm = jnp.sqrt(jnp.sum(u * u))
+        scale = jnp.maximum(1.0 - t * l1 / jnp.maximum(nrm, 1e-300), 0.0)
+        return scale * u
+
+    def body(carry):
+        x, z, s, it, _ = carry
+        g = q * z - linear
+        x_new = prox(z - t * g)
+        s_new = 0.5 * (1 + jnp.sqrt(1 + 4 * s * s)) if accel else s
+        mom = ((s - 1) / s_new) if accel else 0.0
+        if adares:
+            restart = jnp.sum((z - x_new) * (x_new - x)) > 0
+            mom = jnp.where(restart, 0.0, mom)
+            s_new = jnp.where(restart, 1.0, s_new)
+        z_new = x_new + mom * (x_new - x) if accel else x_new
+        diff = jnp.max(jnp.abs(x_new - x))
+        return x_new, z_new, s_new, it + 1, diff
+
+    def cond(carry):
+        _, _, _, it, diff = carry
+        return (diff > tol) & (it < max_iters)
+
+    x0 = jnp.zeros_like(linear)
+    init = (x0, x0, jnp.asarray(1.0, linear.dtype), jnp.int32(0),
+            jnp.asarray(jnp.inf, linear.dtype))
+    x, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    return x, iters
+
+
 def solve(
     *,
     quad,
@@ -258,14 +299,26 @@ def solve(
     max_iters: int = 1000,
     solver: str = "newton_abs",
 ):
-    """Solve the BCD update (reference bcd.py:182).
+    """Solve the BCD update (reference bcd.py:182, solver list :40-49).
 
-    Only the (default) ``newton_abs`` strategy is implemented; other solver
-    names are accepted and routed to it (they solve the same problem).
+    Strategies: the Newton family (``newton``, ``newton_abs``,
+    ``newton_brent``, ``brent`` — all guarded 1-D root finds, served by the
+    bracketing+Newton solver) and the proximal-gradient family (``ista``,
+    ``fista``, ``fista_adares``).
 
     Returns a dict with ``beta``, ``iters``.
     """
-    x, iters = _solve_jit(
-        jnp.asarray(quad), jnp.asarray(linear), l1, l2, tol, int(max_iters)
-    )
+    quad = jnp.asarray(quad)
+    linear = jnp.asarray(linear)
+    if solver in ("ista", "fista", "fista_adares"):
+        x, iters = _ista_jit(
+            quad, linear,
+            jnp.asarray(l1, linear.dtype), jnp.asarray(l2, linear.dtype),
+            jnp.asarray(tol, linear.dtype), int(max_iters),
+            solver != "ista", solver == "fista_adares",
+        )
+    elif solver in ("newton", "newton_abs", "newton_brent", "brent"):
+        x, iters = _solve_jit(quad, linear, l1, l2, tol, int(max_iters))
+    else:
+        raise ValueError(f"Unknown solver: {solver}")
     return {"beta": np.asarray(x), "iters": int(iters)}

@@ -80,6 +80,11 @@ def cv_grpnet(
 ):
     """K-fold CV group elastic net (reference cv.py:130)."""
     n = _rows(X)
+    # progress bars are meaningless across folds; ddev_tol is internally
+    # forced to 0 (reference cv.py docstring)
+    grpnet_params = dict(grpnet_params)
+    grpnet_params.pop("progress_bar", None)
+    grpnet_params.pop("ddev_tol", None)
 
     rng = np.random.RandomState(seed) if seed is not None else np.random
     order = rng.choice(n, n, replace=False)

