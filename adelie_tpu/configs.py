@@ -31,6 +31,11 @@ class Configs:
     # bucket to bound XLA recompilations.
     screen_cap_min: int = 64
     group_cap_min: int = 64
+    # When the FULL problem fits the VMEM-resident pin kernel (total value
+    # size below this), screen every group up front: screening exists to
+    # bound the working set, but below this size the whole Gram is cheaper
+    # than a single BASIL retry round trip (tunneled-TPU RTT ~26ms).
+    screen_all_max: int = 1024
     # Matmul precision for the large MXU contractions ("default" | "float32" |
     # "highest").  CD inner loops always run in the solver dtype.
     matmul_precision: str = "highest"

@@ -150,11 +150,19 @@ def grpnet(
     )
 
     if warm_start is None:
-        screen_set = np.arange(G)[(penalty <= 0) | (alpha <= 0)]
+        from ..configs import configs as _cfg
+
+        if p + int(group_sizes.max()) <= _cfg.screen_all_max:
+            # small-problem fast path: the whole Gram fits the VMEM pin
+            # kernel, so skip BASIL screening entirely (zero KKT retries)
+            screen_set = np.arange(G)
+        else:
+            screen_set = np.arange(G)[(penalty <= 0) | (alpha <= 0)]
         gs = group_sizes[screen_set]
         screen_begins = np.concatenate([[0], np.cumsum(gs)])[:-1].astype(int)
         screen_beta = np.zeros(int(gs.sum()), dtype)
-        screen_is_active = np.ones(len(screen_set), bool)
+        # unpenalized groups start active (reference solver.py:856-862)
+        screen_is_active = ((penalty[screen_set] <= 0) | (alpha <= 0))
         lmda = np.inf
         lmda_max = None
     else:

@@ -218,6 +218,36 @@ def _sweep_q1(carry, consts, active_only):
     return beta, grad, is_active, rsq, convg
 
 
+def _pin_lasso_pallas_dispatch(
+    A, grad, beta, slot_begin, slot_size, eigvals, penalty, is_active,
+    lmda, alpha, tol, dbeta_tol, max_iters, rsq,
+):
+    """Adapt (G_cap,)-shaped slot buffers to the (S_cap,)-positional Pallas
+    lasso kernel (q == 1: slot_begin[i] == i for valid slots; invalid slots
+    scatter into the never-valid dump position S-1)."""
+    from .pin_pallas import pin_lasso_solve_pallas
+
+    S = A.shape[0]
+    m = slot_size > 0
+    pos = jnp.where(m, slot_begin, S - 1)
+    diag_s = jnp.zeros((S,), A.dtype).at[pos].set(
+        jnp.where(m, eigvals[:, 0], 0.0)
+    )
+    pen_s = jnp.ones((S,), A.dtype).at[pos].set(
+        jnp.where(m, penalty.astype(A.dtype), 1.0)
+    )
+    valid_s = jnp.zeros((S,), bool).at[pos].set(m)
+    act_s = jnp.zeros((S,), bool).at[pos].set(is_active & m)
+
+    beta_n, grad_n, act_n, rsq_n, iters, done = pin_lasso_solve_pallas(
+        A, grad, beta, diag_s, valid_s, act_s, pen_s,
+        lmda, alpha, tol, dbeta_tol,
+        max_iters.astype(A.dtype), rsq,
+    )
+    active_out = act_n[pos] & m
+    return beta_n, grad_n, active_out, rsq_n, iters, done
+
+
 @functools.partial(jax.jit, static_argnames=())
 def pin_cov_solve(
     A,
@@ -247,6 +277,21 @@ def pin_cov_solve(
     converged).
     """
     dtype = beta.dtype
+    # lasso fast path: the whole solve as ONE Pallas kernel with all state
+    # VMEM-resident (pin_pallas.py); trace-time dispatch, TPU only
+    from .pin_pallas import MAX_PALLAS_S
+
+    if (
+        eigvals.shape[1] == 1
+        and A.shape[0] <= MAX_PALLAS_S
+        and A.dtype == jnp.float32  # f64 tracing recurses in Mosaic emulation
+        and jax.default_backend() == "tpu"
+    ):
+        return _pin_lasso_pallas_dispatch(
+            A, grad, beta, slot_begin, slot_size, eigvals, penalty,
+            is_active, lmda, alpha, tol, dbeta_tol, max_iters, rsq,
+        )
+
     l1 = lmda * alpha
     l2 = lmda * (1.0 - alpha)
     consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,

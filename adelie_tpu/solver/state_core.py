@@ -205,7 +205,7 @@ class NaiveStateBase:
     setup_lmda_path: bool = True
     n_threads: int = 1  # accepted for API parity; unused
     # lambdas fitted per device call (BASIL batching; TPU-specific knob)
-    lmda_chunk: int = 8
+    lmda_chunk: int = 25
 
     # dynamic invariants
     screen_set: np.ndarray = None          # (S_G,) group indices

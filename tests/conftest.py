@@ -4,10 +4,10 @@ and enable x64 so oracles can be checked at reference tolerances
 
 import os
 
-# note: the axon TPU plugin in this image overrides JAX_PLATFORMS; the
-# PLATFORM_NAME variable is honored and forces the host CPU backend.
+# the image's shell env pre-sets JAX_PLATFORMS=axon (the TPU plugin), so a
+# setdefault would NOT stick — force the CPU backend outright for tests
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# a pytest plugin may import jax before this conftest runs, so the env vars
+# above can be too late — the config update below works as long as no
+# backend has been initialized yet
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite is compile-bound (many bucketed shapes)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_adelie_tpu")

@@ -1,0 +1,95 @@
+"""Pallas lasso pin kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU path is exercised by bench.py and the verify drives)."""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+# pallas interpret mode traces deeply-nested loop bodies; the default
+# recursion limit is too small under pytest's already-deep call stack
+sys.setrecursionlimit(100000)
+
+from adelie_tpu.solver.pin import pin_cov_solve, screen_eigh
+from adelie_tpu.solver.pin_pallas import pin_lasso_solve_pallas
+
+
+def _problem(n, S, n_invalid, seed, lmda, alpha=1.0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, S))
+    A = jnp.asarray(X.T @ X / n, jnp.float32)
+    y = X[:, 0] - X[:, min(5, S - 1)] + 0.1 * rng.standard_normal(n)
+    grad = jnp.asarray(X.T @ y / n, jnp.float32)
+    slot_begin = jnp.arange(S, dtype=jnp.int32)
+    slot_size = jnp.ones(S, jnp.int32)
+    if n_invalid:
+        slot_size = slot_size.at[-n_invalid:].set(0)
+    eigvals, eigvecs = screen_eigh(A, slot_begin, slot_size, 1)
+    pen = jnp.asarray(rng.uniform(0.5, 1.5, S), jnp.float32)
+    return A, grad, slot_begin, slot_size, eigvals, eigvecs, pen
+
+
+@pytest.mark.parametrize("S,n_invalid,lmda,alpha", [
+    (32, 0, 0.05, 1.0),
+    (64, 5, 0.02, 1.0),
+    (48, 3, 0.05, 0.7),
+])
+def test_pallas_matches_xla(S, n_invalid, lmda, alpha):
+    n = 300
+    A, grad, slot_begin, slot_size, eigvals, eigvecs, pen = _problem(
+        n, S, n_invalid, S, lmda, alpha
+    )
+    beta0 = jnp.zeros(S, jnp.float32)
+    act = jnp.zeros(S, bool)
+    f = jnp.float32
+    common = (f(lmda), f(alpha), f(1e-9), f(1e-12))
+
+    out_x = pin_cov_solve(
+        A, grad, beta0, slot_begin, slot_size, eigvals, eigvecs, pen, act,
+        *common[:2], *common[2:], f(1e-12), jnp.int32(1000),
+        jnp.int32(100000), f(0.0),
+    )
+    valid = slot_size > 0
+    out_p = pin_lasso_solve_pallas(
+        A, grad, beta0, eigvals[:, 0], valid, act, pen,
+        *common, f(100000), f(0.0), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_x[1]), np.asarray(out_p[1]),
+                               atol=2e-5)
+    assert np.isclose(float(out_x[3]), float(out_p[3]), atol=1e-4)
+    assert bool(out_p[5])
+    # invalid slots never activate or move
+    if n_invalid:
+        assert np.all(np.asarray(out_p[0])[-n_invalid:] == 0)
+        assert not np.any(np.asarray(out_p[2])[-n_invalid:])
+
+
+def test_pallas_warm_start():
+    """Warm-started solve from a previous lambda matches XLA."""
+    n, S = 200, 32
+    A, grad, slot_begin, slot_size, eigvals, eigvecs, pen = _problem(
+        n, S, 0, 3, 0.05
+    )
+    f = jnp.float32
+    beta0 = jnp.zeros(S, jnp.float32)
+    act = jnp.zeros(S, bool)
+    args0 = (A, grad, beta0, slot_begin, slot_size, eigvals, eigvecs, pen,
+             act, f(0.05), f(1.0), f(1e-9), f(1e-12), f(1e-12),
+             jnp.int32(1000), jnp.int32(100000), f(0.0))
+    b1, g1, a1, r1, _, _ = pin_cov_solve(*args0)
+    # continue to a smaller lambda from the warm state
+    out_x = pin_cov_solve(A, g1, b1, slot_begin, slot_size, eigvals, eigvecs,
+                          pen, a1, f(0.01), f(1.0), f(1e-9), f(1e-12),
+                          f(1e-12), jnp.int32(1000), jnp.int32(100000), r1)
+    valid = slot_size > 0
+    out_p = pin_lasso_solve_pallas(
+        A, g1, b1, eigvals[:, 0], valid, a1, pen,
+        f(0.01), f(1.0), f(1e-9), f(1e-12), f(100000), r1, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
+                               atol=2e-5)
+    assert np.isclose(float(out_x[3]), float(out_p[3]), atol=1e-4)
