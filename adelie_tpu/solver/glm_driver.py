@@ -51,9 +51,25 @@ def _hessian_floor(hess, dtype):
 class GlmNaiveDriver:
     def __init__(self, state: GlmNaiveState):
         self.s = state
+        self._is_screen_dev = None
+        self._is_screen_version = -1
+        self._penalty_groups_dev = jnp.asarray(
+            state.penalty.astype(state.dtype)
+        )
+        self._last_kkt = None
+        self._last_loss = None
 
     def large_lmda(self):
         return large_lmda(self.s.dtype)
+
+    def _screen_mask(self):
+        s = self.s
+        if self._is_screen_version != s._screen_version:
+            m = np.zeros(len(s.groups), bool)
+            m[s.screen_set] = True
+            self._is_screen_dev = jnp.asarray(m)
+            self._is_screen_version = s._screen_version
+        return self._is_screen_dev
 
     # -- intercept-only IRLS for loss_null (reference :166-232) ------------ #
     def update_loss_null(self):
@@ -84,6 +100,72 @@ class GlmNaiveDriver:
 
     # -- proximal-Newton fit at one lambda (reference :241-459) ------------ #
     def fit(self, lmda):
+        """Fused path: the whole IRLS fit + invariance + KKT is ONE device
+        call (glm_fused.py); a single host pull of small outputs."""
+        from .glm_fused import get_glm_step
+
+        s = self.s
+        glm = s.glm
+        dtype = s.dtype
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+
+        saved_beta = s.screen_beta.copy()
+        saved_active = s.screen_is_active.copy()
+
+        step = get_glm_step(
+            glm, s.X, s.intercept, len(s.groups), cache.qmax, dtype
+        )
+        X_data = s.X.mul_spec()[1]
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        tol_base = s.tol * (s.loss_null - s.loss_full)
+
+        out = step(
+            X_data,
+            cache.Xs, cache.cols_padded, cache.slot_begin, cache.slot_size,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            s.eta, s.resid, jnp.asarray(s.beta0, dtype), s.offsets,
+            s._group_ids, s._penalty_cols, self._penalty_groups_dev,
+            self._screen_mask(),
+            jnp.asarray(lmda, dtype), jnp.asarray(s.alpha, dtype),
+            jnp.asarray(tol_base, dtype),
+            jnp.asarray(s.irls_tol, dtype),
+            jnp.asarray(s.irls_max_iters, jnp.int32),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+        )
+        (beta, active, eta, resid, b0, grad, abs_grad, kkt_passed,
+         loss, irls_iters, converged, pin_ok) = out
+
+        beta_h, active_h, b0_h, ag_h, kkt_h, loss_h, conv_h, ok_h = (
+            jax.device_get((beta, active, b0, abs_grad, kkt_passed, loss,
+                            converged, pin_ok))
+        )
+        if not bool(ok_h):
+            s.screen_beta = saved_beta
+            s.screen_is_active = saved_active
+            raise MaxCDsError()
+        if not bool(conv_h):
+            s.screen_beta = saved_beta
+            s.screen_is_active = saved_active
+            raise SolverError("Maximum IRLS iterations reached.")
+
+        s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+        s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+        s.eta = eta
+        s.resid = resid
+        s.beta0 = float(b0_h)
+        s.grad = grad
+        s.abs_grad = np.asarray(ag_h)
+        self._last_kkt = bool(kkt_h)
+        self._last_loss = float(loss_h)
+        return sw.elapsed()
+
+    def _fit_unfused(self, lmda):
         s = self.s
         glm = s.glm
         dtype = s.dtype
@@ -182,13 +264,17 @@ class GlmNaiveDriver:
             raise
 
     def update_invariance(self, lmda):
+        # grad/abs_grad are folded into the fused fit step; record lambda
         s = self.s
-        ones = jnp.ones((s.resid.shape[0],), s.dtype)
-        s.grad = s.X.mul(s.resid, ones)
         s.lmda = lmda
-        s.update_abs_grad(lmda)
+        if self._last_kkt is None:  # unfused path (constrained driver)
+            ones = jnp.ones((s.resid.shape[0],), s.dtype)
+            s.grad = s.X.mul(s.resid, ones)
+            s.update_abs_grad(lmda)
 
     def kkt(self, lmda):
+        if self._last_kkt is not None:
+            return self._last_kkt
         return self.s.kkt(lmda)
 
     def update_solutions(self, lmda):
@@ -202,5 +288,8 @@ class GlmNaiveDriver:
         s.betas.append(beta_row)
         s.intercepts.append(s.beta0 if s.intercept else 0.0)
         s.lmdas.append(lmda)
-        loss = float(s.glm.loss(s.eta))
+        loss = (
+            self._last_loss if self._last_loss is not None
+            else float(s.glm.loss(s.eta))
+        )
         s.devs.append((s.loss_null - loss) / (s.loss_null - s.loss_full))
