@@ -58,6 +58,8 @@ class GlmNaiveDriver:
         )
         self._last_kkt = None
         self._last_loss = None
+        self._prev_dev = 0.0
+        self._have_prev_dev = False
 
     def large_lmda(self):
         return large_lmda(self.s.dtype)
@@ -293,3 +295,186 @@ class GlmNaiveDriver:
             else float(s.glm.loss(s.eta))
         )
         s.devs.append((s.loss_null - loss) / (s.loss_null - s.loss_full))
+
+    # ------------------------------------------------------------------ #
+    # chunked path driver (one device call per lambda batch)              #
+    # ------------------------------------------------------------------ #
+
+    def _run_chunk(self, lmdas, record):
+        """Fit a batch of lambdas in one device call (glm_fused.py chunk).
+
+        Returns (n_accepted, early_stopped); state advances through the
+        last ACCEPTED lambda (failed IRLS fits keep their pre-fit iterate,
+        reference solver_glm_naive.hpp:315-322).
+        """
+        from .glm_fused import get_glm_chunk_step
+
+        s = self.s
+        glm = s.glm
+        dtype = s.dtype
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+        step = get_glm_chunk_step(
+            glm, s.X, s.intercept, len(s.groups), cache.qmax, dtype
+        )
+        X_data = s.X.mul_spec()[1]
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        tol_base = s.tol * (s.loss_null - s.loss_full)
+
+        carry, emits = step(
+            X_data,
+            cache.Xs, cache.cols_padded, cache.slot_begin, cache.slot_size,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            s.eta, s.resid, jnp.asarray(s.beta0, dtype), s.offsets,
+            s._group_ids, s._penalty_cols, self._penalty_groups_dev,
+            self._screen_mask(),
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(tol_base, dtype),
+            jnp.asarray(s.irls_tol, dtype),
+            jnp.asarray(s.irls_max_iters, jnp.int32),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.loss_null, dtype), jnp.asarray(s.loss_full, dtype),
+            jnp.asarray(s.adev_tol, dtype), jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+        )
+        (beta_f, active_f, eta_f, resid_f, b0_f, abs_grad_f, stopped_f,
+         prev_dev_f, have_prev_f) = carry
+        (betas_e, b0s_e, accepts_e, kkts_e, fitok_e, pinok_e, devs_e,
+         losses_e, processed_e, irls_e) = emits
+
+        (beta_h, active_h, b0_h, ag_h, stopped_h, prevdev_h, haveprev_h,
+         betas_np, b0s_np, accepts_np, kkts_np, fitok_np, pinok_np, devs_np,
+         processed_np) = jax.device_get((
+            beta_f, active_f, b0_f, abs_grad_f, stopped_f, prev_dev_f,
+            have_prev_f, betas_e, b0s_e, accepts_e, kkts_e, fitok_e,
+            pinok_e, devs_e, processed_e,
+        ))
+
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+
+        # advance state through the last successful fit BEFORE raising, so
+        # a failure still leaves a valid partial state (py_state.cpp:83-89)
+        if n_acc or n_proc:
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.eta = eta_f
+            s.resid = resid_f
+            s.beta0 = float(b0_h)
+            s.abs_grad = np.asarray(ag_h)
+            self._prev_dev = float(prevdev_h)
+            self._have_prev_dev = bool(haveprev_h)
+            if n_proc:
+                s.lmda = float(lm_pad[n_proc - 1])
+
+        if record:
+            for i in range(n_proc):
+                if accepts_np[i]:
+                    sb = np.asarray(betas_np[i][: cache.S_val])
+                    nz = np.abs(sb) > 0
+                    beta_row = sp.csr_matrix(
+                        (sb[nz], (np.zeros(int(nz.sum()), int),
+                                  cache.cols[nz])),
+                        shape=(1, s.p),
+                    )
+                    s.betas.append(beta_row)
+                    s.intercepts.append(
+                        float(b0s_np[i]) if s.intercept else 0.0
+                    )
+                    s.lmdas.append(float(lm_pad[i]))
+                    s.devs.append(float(devs_np[i]))
+                    s.n_valid_solutions.append(True)
+                    s.active_sizes.append(int(np.asarray(active_h).sum()))
+                    s.screen_sizes.append(len(s.screen_set))
+                else:
+                    s.n_valid_solutions.append(False)
+
+        # IRLS failures raise AFTER the state advance (valid partial state)
+        bad = processed_np & ~fitok_np
+        if np.any(bad):
+            i = int(np.argmax(bad))
+            if not pinok_np[i]:
+                raise MaxCDsError()
+            raise SolverError("Maximum IRLS iterations reached.")
+
+        early_stopped = bool(
+            n_proc and bool(stopped_h) and bool(accepts_np[n_proc - 1])
+        )
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        return n_acc, early_stopped
+
+    def solve_path(self, progress_bar=False, exit_cond=None):
+        """Chunked BASIL loop for GLMs (mirrors gaussian solve_path)."""
+        from .basil import compute_lmda_max, compute_lmda_path, screen
+
+        s = self.s
+        sw = Stopwatch().start()
+        exit_cond = exit_cond or (lambda *a: False)
+
+        self.update_loss_null()
+
+        if s.setup_lmda_max and s.lmda_max is None:
+            self._run_chunk([self.large_lmda()], record=False)
+            s.lmda_max = compute_lmda_max(s.abs_grad, s.alpha, s.penalty)
+
+        if s.setup_lmda_path and s.lmda_path is None:
+            if s.lmda_path_size <= 0:
+                s.total_time = sw.elapsed()
+                return s
+            s.lmda_path = compute_lmda_path(
+                s.lmda_max, s.min_ratio, s.lmda_path_size
+            )
+        path = np.asarray(s.lmda_path, float)
+
+        large_count = int(np.searchsorted(-path, -s.lmda_max))
+        if large_count or s.setup_lmda_max:
+            seg = list(path[:large_count])
+            Cc = int(s.lmda_chunk)
+            for i in range(0, len(seg), Cc):
+                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                if early or exit_cond(s):
+                    s.total_time = sw.elapsed()
+                    return s
+            self._run_chunk([s.lmda_max], record=False)
+
+        idx = large_count
+        kkt_passed = True
+        n_new_active = 0
+        current_active = s.active_set_size
+
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
+            sw_p = Stopwatch().start()
+            screen(s, chunk[-1], kkt_passed, n_new_active,
+                   lmda_prev=lmda_prev, lmda_fallback=chunk[0])
+            s.benchmark["screen"].append(sw_p.elapsed())
+
+            n_acc, early = self._run_chunk(chunk, record=True)
+            idx += n_acc
+            kkt_passed = n_acc == C
+            if n_acc:
+                n_new_active = s.active_set_size - current_active
+                current_active = s.active_set_size
+            if early or exit_cond(s):
+                break
+
+        s.total_time = sw.elapsed()
+        return s
