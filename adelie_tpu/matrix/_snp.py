@@ -76,18 +76,30 @@ class MatrixNaiveSNPUnphased(MatrixNaiveBase):
         p = self._cols
         CH = self._CHUNK
         dtype = self.dtype
+        n_chunks = (p + CH - 1) // CH
+        p_pad = n_chunks * CH
 
         def f(data, v, w):
             u = (v * w).astype(dtype)
-            outs = []
-            for s in range(0, p, CH):
-                e = min(s + CH, p)
-                rows = jax.lax.slice_in_dim(data["packed"], s, e, axis=0)
+            packed = data["packed"]
+            impute = data["impute"]
+            if p_pad != p:
+                packed = jnp.pad(packed, ((0, p_pad - p), (0, 0)))
+                impute = jnp.pad(impute, (0, p_pad - p))
+            packed = packed.reshape(n_chunks, CH, -1)
+            impute = impute.reshape(n_chunks, CH)
+
+            def one(args):
+                rows, imp = args
                 codes = _unpack_cols(rows, n, dtype)
-                imp = jax.lax.slice_in_dim(data["impute"], s, e)
                 blk = jnp.where(codes == 3.0, imp[None, :], codes)
-                outs.append(jnp.einsum("nk,n->k", blk, u, precision=_PRECISION))
-            return jnp.concatenate(outs)
+                return jnp.einsum("nk,n->k", blk, u, precision=_PRECISION)
+
+            # lax.map: ONE traced chunk body regardless of p (the python
+            # loop version unrolls p/CH matmuls into the HLO, which blows
+            # up compile time inside the lambda-chunk scan)
+            out = jax.lax.map(one, (packed, impute))
+            return out.reshape(-1)[:p]
 
         return f, {"packed": self._packed, "impute": self._impute}
 
@@ -137,15 +149,21 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
         p = self._cols
         CH = self._CHUNK
         dtype = self.dtype
+        n_chunks = (p + CH - 1) // CH
+        p_pad = n_chunks * CH
 
         def f(data, v, w):
             u = (v * w).astype(dtype)
-            outs = []
-            for s in range(0, p, CH):
-                e = min(s + CH, p)
-                rows = jax.lax.slice_in_dim(data["packed"], s, e, axis=0)
+            packed = data["packed"]
+            if p_pad != p:
+                packed = jnp.pad(packed, ((0, p_pad - p), (0, 0)))
+            packed = packed.reshape(n_chunks, CH, -1)
+
+            def one(rows):
                 blk = _unpack_cols(rows, n, dtype)
-                outs.append(jnp.einsum("nk,n->k", blk, u, precision=_PRECISION))
-            return jnp.concatenate(outs)
+                return jnp.einsum("nk,n->k", blk, u, precision=_PRECISION)
+
+            out = jax.lax.map(one, packed)
+            return out.reshape(-1)[:p]
 
         return f, {"packed": self._packed}
