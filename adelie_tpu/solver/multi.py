@@ -188,8 +188,16 @@ def build_multi_problem(
         state.K = K
         driver = MultiGlmNaiveDriver(state, K, intercept)
 
+    # attach the (n, K) glm + offsets for diagnostics/CV
+    state.glm_multi = glm
+    state.offsets_multi = offsets
+
     try:
-        solve_core(state, driver, progress_bar=progress_bar, exit_cond=exit_cond)
+        if hasattr(driver, "solve_path"):
+            driver.solve_path(progress_bar=progress_bar, exit_cond=exit_cond)
+        else:
+            solve_core(state, driver, progress_bar=progress_bar,
+                       exit_cond=exit_cond)
     except Exception as exc:
         state.error = str(exc)
         logger.error(f"solver: {exc}")
