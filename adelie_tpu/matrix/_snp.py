@@ -79,6 +79,20 @@ class MatrixNaiveSNPUnphased(MatrixNaiveBase):
         n_chunks = (p + CH - 1) // CH
         p_pad = n_chunks * CH
 
+        # fused Pallas decode-matmul on TPU f32 (16x less HBM traffic than
+        # materializing decoded blocks); XLA lax.map fallback elsewhere
+        use_pallas = (
+            jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+        )
+        if use_pallas:
+            from ._snp_pallas import snp_mul_pallas
+
+            def f(data, v, w):
+                u = (v * w).astype(dtype)
+                return snp_mul_pallas(data["packed"], u, data["impute"])
+
+            return f, {"packed": self._packed, "impute": self._impute}
+
         def f(data, v, w):
             u = (v * w).astype(dtype)
             packed = data["packed"]
@@ -151,6 +165,19 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
         dtype = self.dtype
         n_chunks = (p + CH - 1) // CH
         p_pad = n_chunks * CH
+
+        if (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+        ):
+            from ._snp_pallas import snp_mul_pallas
+
+            def f(data, v, w):
+                u = (v * w).astype(dtype)
+                # phased codes are 0..2 (never NA); impute zeros are inert
+                return snp_mul_pallas(data["packed"], u, data["impute"])
+
+            return f, {"packed": self._packed, "impute": self._impute}
 
         def f(data, v, w):
             u = (v * w).astype(dtype)

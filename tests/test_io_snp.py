@@ -155,3 +155,28 @@ def test_snp_bed_bad_magic(tmp_path):
         fh.write(b"nope")
     with pytest.raises(RuntimeError):
         ad.io.snp_bed(f, n_samples=4).read()
+
+
+def test_snp_mul_pallas_parity():
+    """Fused Pallas decode-matmul vs numpy dense (interpret mode)."""
+    import jax.numpy as jnp
+    from adelie_tpu.matrix._snp_pallas import snp_mul_pallas
+    from adelie_tpu.matrix._snp import unpack_2bit_np
+
+    rng = np.random.default_rng(0)
+    for (p, n) in [(10, 9), (300, 257), (513, 1000)]:
+        nb = (n + 3) // 4
+        packed = rng.integers(0, 256, size=(p, nb), dtype=np.int64).astype(np.uint8)
+        rem = n % 4
+        if rem:
+            packed[:, -1] &= (1 << (2 * rem)) - 1
+        impute = rng.uniform(0, 2, p).astype(np.float32)
+        u = rng.standard_normal(n).astype(np.float32)
+        codes = unpack_2bit_np(packed, n).astype(np.float32)
+        dense = np.where(codes == 3, impute[:, None], codes)
+        expect = dense @ u
+        got = np.asarray(snp_mul_pallas(
+            jnp.asarray(packed), jnp.asarray(u), jnp.asarray(impute),
+            interpret=True,
+        ))
+        np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-4)
