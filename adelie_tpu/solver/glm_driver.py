@@ -75,6 +75,8 @@ class GlmNaiveDriver:
 
     # -- intercept-only IRLS for loss_null (reference :166-232) ------------ #
     def update_loss_null(self):
+        """One fused device call (lax.while) instead of a python IRLS loop
+        with ~4 host syncs per iteration."""
         s = self.s
         if not s.setup_loss_null or s.loss_null is not None:
             return
@@ -82,23 +84,33 @@ class GlmNaiveDriver:
         if not s.intercept:
             s.loss_null = float(glm.loss(s.offsets))
             return
-        beta0 = s.beta0
-        eta = s.eta
-        resid = s.resid
-        for it in range(s.irls_max_iters):
-            grad = resid
-            hess = _hessian_floor(glm.hessian(eta, grad), s.dtype)
-            irls_y_work = glm.inv_hessian_gradient(eta, grad, hess)
-            hess_sum = jnp.sum(hess)
-            beta0 = float(jnp.sum(hess * (irls_y_work + eta - s.offsets)) / hess_sum)
-            eta_prev, resid_prev = eta, resid
-            eta = beta0 + s.offsets
-            resid = glm.gradient(eta)
-            crit = float(jnp.abs(jnp.sum((resid - resid_prev) * (eta - eta_prev))))
-            if crit <= s.irls_tol:
-                s.loss_null = float(glm.loss(eta))
-                return
-        raise SolverError("Maximum IRLS iterations reached (loss_null).")
+        dtype = s.dtype
+
+        def body(carry):
+            beta0, eta, resid, _, it, _ = carry
+            hess = _hessian_floor(glm.hessian(eta, resid), dtype)
+            irls_y_work = glm.inv_hessian_gradient(eta, resid, hess)
+            beta0_n = jnp.sum(hess * (irls_y_work + eta - s.offsets)) / jnp.sum(hess)
+            eta_n = beta0_n + s.offsets
+            resid_n = glm.gradient(eta_n)
+            crit = jnp.abs(jnp.sum((resid_n - resid) * (eta_n - eta)))
+            return (beta0_n, eta_n, resid_n, crit, it + 1,
+                    crit <= s.irls_tol)
+
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return (~done) & (it < s.irls_max_iters)
+
+        init = (jnp.asarray(s.beta0, dtype), s.eta, s.resid,
+                jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        beta0, eta, resid, crit, iters, done = jax.lax.while_loop(
+            cond, body, init
+        )
+        loss_null, done_h = jax.device_get((glm.loss(eta), done))
+        if not bool(done_h):
+            raise SolverError("Maximum IRLS iterations reached (loss_null).")
+        s.loss_null = float(loss_null)
 
     # -- proximal-Newton fit at one lambda (reference :241-459) ------------ #
     def fit(self, lmda):
