@@ -36,6 +36,7 @@ __all__ = [
     "nnqp_full",
     "lasso_full",
     "nnls",
+    "linqp_full",
     "search_pivot",
     "symmetric_penalty",
 ]
@@ -215,3 +216,66 @@ def symmetric_penalty(knots, alpha):
     if curr_f_min <= f_min:
         argmin = curr_argmin
     return float(argmin)
+
+
+def linqp_full(quad, linear, A, lower, upper, *, x0=None,
+               lmda_max=1e-1, lmda_min=1e-7, lmda_path_size=20,
+               max_iters: int = 10000, tol=1e-9, relaxed_tol=1e-6,
+               slack=1e-4):
+    """Linear-inequality QP via a log-barrier Newton path (reference
+    optimization/linqp_full.hpp):
+
+        min_x 1/2 x'Qx - v'x   s.t.  -lower <= A x <= upper
+
+    with the barrier weight annealed from ``lmda_max`` to ``lmda_min``.
+    Host-side numpy (a small dense QP utility, as in the reference, where
+    it backs ConstraintLinear experiments).  Returns (x, iters).
+    """
+    Q = np.asarray(quad, np.float64)
+    v = np.asarray(linear, np.float64)
+    A = np.asarray(A, np.float64)
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    m, d = A.shape
+
+    if x0 is None:
+        x = np.zeros(d)
+    else:
+        x = np.asarray(x0, np.float64).copy()
+    Ax = A @ x
+    assert np.all(Ax < upper) and np.all(Ax > -lower), \
+        "x0 must be strictly feasible"
+
+    min_ratio = lmda_min / lmda_max
+    lmda_factor = min_ratio ** (1.0 / max(lmda_path_size - 1, 1))
+    lmda = lmda_max
+    iters = 0
+
+    for i in range(lmda_path_size):
+        _tol = relaxed_tol if i + 1 < lmda_path_size else tol
+        prev = None
+        while iters < max_iters:
+            g_bar = (1.0 / (upper - Ax) - 1.0 / (Ax + lower)) @ A
+            grad = Q @ x - v + (lmda / m) * g_bar
+            if prev is not None:
+                x_prev, grad_prev = prev
+                if abs(np.mean((x - x_prev) * (grad - grad_prev))) <= _tol:
+                    break
+            x_prev, Ax_prev, grad_prev = x.copy(), Ax.copy(), grad.copy()
+            prev = (x_prev, grad_prev)
+
+            D = (lmda / m) * (1.0 / (upper - Ax) ** 2 + 1.0 / (Ax + lower) ** 2)
+            hess = A.T @ (D[:, None] * A) + Q
+            x = x - np.linalg.solve(hess, grad)
+            Ax = A @ x
+            # backtrack to strict feasibility (reference :133-147)
+            while np.any(Ax >= upper) or np.any(Ax <= -lower):
+                step = (1 - slack) * max(min(np.min(
+                    np.minimum(upper - Ax_prev, lower + Ax_prev)
+                    / np.maximum(np.abs(Ax - Ax_prev), _tol)
+                ), 1.0), 0.0)
+                x = x_prev + step * (x - x_prev)
+                Ax = Ax_prev + step * (Ax - Ax_prev)
+            iters += 1
+        lmda *= lmda_factor
+    return x, iters

@@ -1,0 +1,32 @@
+"""Build script: compiles the native SNP codec alongside the package.
+
+The codec (adelie_tpu/src/snpio.cpp — the reference's .snpdat chunked
+encoding, see io.py) is a plain C-ABI shared library driven via ctypes;
+no pybind11 required.  If the build-time compile is skipped (no g++), the
+runtime builds it lazily on first use (adelie_tpu/io.py _build_lib).
+"""
+
+import subprocess
+from pathlib import Path
+
+from setuptools import setup
+from setuptools.command.build_py import build_py
+
+
+class BuildWithCodec(build_py):
+    def run(self):
+        super().run()
+        src = Path(__file__).parent / "adelie_tpu" / "src" / "snpio.cpp"
+        for base in [Path(self.build_lib), Path(__file__).parent]:
+            out = base / "adelie_tpu" / "_snpio.so"
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     str(src), "-o", str(out)],
+                    check=True, capture_output=True,
+                )
+            except Exception:
+                pass  # lazily built at runtime instead
+
+
+setup(cmdclass={"build_py": BuildWithCodec})

@@ -386,3 +386,34 @@ def test_search_pivot_matches_bruteforce():
 
     brute = np.array([mse(i) for i in range(1, n)])
     assert abs(mse(idx) - brute.min()) <= 1e-8 * max(1.0, brute.min())
+
+
+def test_linqp_full():
+    """Barrier QP vs scipy minimize with constraints."""
+    rng = np.random.default_rng(0)
+    d, m = 4, 6
+    B = rng.standard_normal((d, 2 * d))
+    Q = B @ B.T / d + np.eye(d)
+    v = rng.standard_normal(d)
+    A = rng.standard_normal((m, d))
+    lower = np.full(m, 1.0)
+    upper = np.full(m, 1.0)
+
+    x, iters = opt.linqp_full(Q, v, A, lower, upper, lmda_min=1e-9,
+                              lmda_path_size=30)
+    # feasible
+    Ax = A @ x
+    assert np.all(Ax <= upper + 1e-8) and np.all(Ax >= -lower - 1e-8)
+
+    # oracle via scipy SLSQP
+    res = scipy.optimize.minimize(
+        lambda z: 0.5 * z @ Q @ z - v @ z, np.zeros(d), jac=lambda z: Q @ z - v,
+        constraints=[
+            {"type": "ineq", "fun": lambda z: upper - A @ z},
+            {"type": "ineq", "fun": lambda z: A @ z + lower},
+        ], method="SLSQP", options={"maxiter": 1000, "ftol": 1e-14},
+    )
+    obj = lambda z: 0.5 * z @ Q @ z - v @ z
+    assert obj(x) <= obj(res.x) + 1e-5 * max(1.0, abs(obj(res.x))), (
+        obj(x), obj(res.x)
+    )
