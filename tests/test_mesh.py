@@ -60,4 +60,4 @@ def test_sharded_fit_matches_single_device():
         )
         jax.block_until_ready(out_mesh)
     beta_mesh = np.asarray(out_mesh[0])
-    np.testing.assert_allclose(beta_mesh, beta_single, atol=1e-9)
+    np.testing.assert_allclose(beta_mesh, beta_single, atol=1e-5)  # f32 reduction-order noise
