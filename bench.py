@@ -28,12 +28,12 @@ def main():
     import adelie_tpu as ad
     from sklearn.linear_model import lasso_path
 
-    n, p, n_lmdas = 20000, 1000, 100
+    n, p, n_lmdas = 40000, 2000, 100
     rng = np.random.default_rng(0)
     X = rng.standard_normal((n, p)).astype(np.float32)
     beta = np.zeros(p)
-    nz = rng.choice(p, 40, replace=False)
-    beta[nz] = rng.standard_normal(40)
+    nz = rng.choice(p, 60, replace=False)
+    beta[nz] = rng.standard_normal(60)
     y = (X @ beta + 0.5 * rng.standard_normal(n)).astype(np.float32)
     # center so intercept-free fits agree on both sides
     X -= X.mean(axis=0)
