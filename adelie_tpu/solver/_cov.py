@@ -265,11 +265,16 @@ def gaussian_cov(
         penalty = np.asarray(penalty, float)
 
     if warm_start is None:
-        screen_set = np.arange(G)[(penalty <= 0) | (alpha <= 0)]
+        if p + int(group_sizes.max()) <= configs.screen_all_max:
+            # small-problem fast path (see grpnet): screen everything,
+            # zero KKT retries
+            screen_set = np.arange(G)
+        else:
+            screen_set = np.arange(G)[(penalty <= 0) | (alpha <= 0)]
         gs = group_sizes[screen_set]
         screen_begins = np.concatenate([[0], np.cumsum(gs)])[:-1].astype(int)
         screen_beta = np.zeros(int(gs.sum()), dtype)
-        screen_is_active = np.ones(len(screen_set), bool)
+        screen_is_active = (penalty[screen_set] <= 0) | (alpha <= 0)
         lmda = np.inf
         lmda_max = None
         rsq = 0.0
