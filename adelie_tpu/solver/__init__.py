@@ -172,6 +172,16 @@ def grpnet(
         screen_is_active = np.asarray(warm_start.screen_is_active)
         lmda = warm_start.lmda
         lmda_max = warm_start.lmda_max
+        # guard against a warm start fitted under different grouping
+        if (
+            (len(screen_set) and screen_set.max() >= G)
+            or len(screen_beta) != int(group_sizes[screen_set].sum())
+        ):
+            raise ValueError(
+                "warm_start is inconsistent with the requested groups: "
+                f"it was fitted with a different grouping (G={G}, "
+                f"screen value size {len(screen_beta)})."
+            )
 
     common.update(
         screen_set=screen_set, screen_begins=screen_begins,
