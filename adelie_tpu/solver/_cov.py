@@ -15,6 +15,7 @@ full-gradient invariance is one ``A[:, screen] @ beta`` product per lambda.
 from dataclasses import dataclass
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
@@ -141,9 +142,180 @@ def early_exit_cov(state) -> bool:
 class GaussianCovDriver:
     def __init__(self, state: GaussianCovState):
         self.s = state
+        self._is_screen_dev = None
+        self._is_screen_version = -1
+        self._penalty_groups_dev = jnp.asarray(
+            state.penalty.astype(state.dtype)
+        )
+        self._prev_dev = 0.0
+        self._have_prev_dev = False
 
     def large_lmda(self):
         return large_lmda(self.s.dtype)
+
+    def _screen_mask(self):
+        s = self.s
+        if self._is_screen_version != s._screen_version:
+            m = np.zeros(len(s.groups), bool)
+            m[s.screen_set] = True
+            self._is_screen_dev = jnp.asarray(m)
+            self._is_screen_version = s._screen_version
+        return self._is_screen_dev
+
+    # ---- chunked path (dense A only; see _build_cov_chunk_step) ---- #
+
+    def _run_chunk(self, lmdas, record):
+        from .basil import compute_lmda_max
+
+        s = self.s
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+        dtype = s.dtype
+        step = _get_cov_chunk_step(len(s.groups), cache.qmax)
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        cols_padded = np.full(cache.S_cap, -1, np.int32)
+        cols_padded[: cache.S_val] = cache.cols
+
+        carry, emits = step(
+            s.A._mat, jnp.asarray(s.v, dtype),
+            cache.A_s, jnp.asarray(cols_padded),
+            cache.slot_begin, cache.slot_size, cache.eigvals, cache.eigvecs,
+            cache.penalty_slots,
+            cache.pad_screen_values(s.screen_beta, dtype),
+            cache.pad_group_bools(s.screen_is_active),
+            s._group_ids, s._penalty_cols, self._penalty_groups_dev,
+            self._screen_mask(),
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(s.tol, dtype),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.rsq, dtype), jnp.asarray(s.rdev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+        )
+        (beta_f, active_f, rsq_f, abs_grad_f, stopped_f, prev_dev_f,
+         have_prev_f) = carry
+        (betas_e, rsqs_e, accepts_e, kkts_e, dones_e, processed_e) = emits
+
+        (beta_h, active_h, rsq_h, ag_h, stopped_h, prevdev_h, haveprev_h,
+         betas_np, rsqs_np, accepts_np, dones_np, processed_np) = (
+            jax.device_get((beta_f, active_f, rsq_f, abs_grad_f, stopped_f,
+                            prev_dev_f, have_prev_f, betas_e, rsqs_e,
+                            accepts_e, dones_e, processed_e))
+        )
+        if np.any(processed_np & ~dones_np):
+            raise MaxCDsError()
+
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+
+        if n_proc:
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.rsq = float(rsq_h)
+            s.abs_grad = np.asarray(ag_h)
+            s.lmda = float(lm_pad[n_proc - 1])
+            if record:
+                # dry fits (lmda_max positioning) must not seed the
+                # early-exit deviance comparison (reference compares
+                # RECORDED solutions only, solver_gaussian_cov.hpp:193)
+                self._prev_dev = float(prevdev_h)
+                self._have_prev_dev = bool(haveprev_h)
+
+        if record:
+            for i in range(n_proc):
+                if accepts_np[i]:
+                    sb = np.asarray(betas_np[i][: cache.S_val])
+                    nz = np.abs(sb) > 0
+                    s.betas.append(sp.csr_matrix(
+                        (sb[nz], (np.zeros(int(nz.sum()), int),
+                                  cache.cols[nz])),
+                        shape=(1, s.p),
+                    ))
+                    s.intercepts.append(0.0)
+                    s.lmdas.append(float(lm_pad[i]))
+                    s.rsqs.append(float(rsqs_np[i]))
+                    s.devs.append(float(rsqs_np[i]))
+                    s.n_valid_solutions.append(True)
+                    s.active_sizes.append(int(np.asarray(active_h).sum()))
+                    s.screen_sizes.append(len(s.screen_set))
+                else:
+                    s.n_valid_solutions.append(False)
+
+        early_stopped = bool(
+            n_proc and bool(stopped_h) and bool(accepts_np[n_proc - 1])
+        )
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        return n_acc, early_stopped
+
+    def solve_path(self, progress_bar=False, exit_cond=None):
+        """Chunked BASIL loop for the covariance method (dense A)."""
+        from .basil import compute_lmda_max, compute_lmda_path, screen
+
+        s = self.s
+        sw = Stopwatch().start()
+        exit_cond = exit_cond or (lambda *a: False)
+
+        if s.setup_lmda_max and s.lmda_max is None:
+            self._run_chunk([self.large_lmda()], record=False)
+            s.lmda_max = compute_lmda_max(s.abs_grad, s.alpha, s.penalty)
+
+        if s.setup_lmda_path and s.lmda_path is None:
+            if s.lmda_path_size <= 0:
+                s.total_time = sw.elapsed()
+                return s
+            s.lmda_path = compute_lmda_path(
+                s.lmda_max, s.min_ratio, s.lmda_path_size
+            )
+        path = np.asarray(s.lmda_path, float)
+
+        large_count = int(np.searchsorted(-path, -s.lmda_max))
+        if large_count or s.setup_lmda_max:
+            seg = list(path[:large_count])
+            Cc = int(s.lmda_chunk)
+            for i in range(0, len(seg), Cc):
+                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                if early or exit_cond(s):
+                    s.total_time = sw.elapsed()
+                    return s
+            self._run_chunk([s.lmda_max], record=False)
+
+        idx = large_count
+        kkt_passed = True
+        n_new_active = 0
+        current_active = s.active_set_size
+
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
+            sw_p = Stopwatch().start()
+            screen(s, chunk[-1], kkt_passed, n_new_active,
+                   lmda_prev=lmda_prev, lmda_fallback=chunk[0])
+            s.benchmark["screen"].append(sw_p.elapsed())
+
+            n_acc, early = self._run_chunk(chunk, record=True)
+            idx += n_acc
+            kkt_passed = n_acc == C
+            if n_acc:
+                n_new_active = s.active_set_size - current_active
+                current_active = s.active_set_size
+            if early or exit_cond(s):
+                break
+
+        s.total_time = sw.elapsed()
+        return s
 
     def update_loss_null(self):
         pass
@@ -311,8 +483,12 @@ def gaussian_cov(
     driver.update_invariance(min(state.lmda, 1e30) if np.isfinite(state.lmda) else 1e30)
 
     try:
-        solve_core(state, driver, progress_bar=progress_bar,
-                   exit_cond=exit_cond, early_exit_fn=early_exit_cov)
+        if isinstance(A, matrix_mod.MatrixCovDense):
+            # dense device-resident A: chunked lambda batching
+            driver.solve_path(progress_bar=progress_bar, exit_cond=exit_cond)
+        else:
+            solve_core(state, driver, progress_bar=progress_bar,
+                       exit_cond=exit_cond, early_exit_fn=early_exit_cov)
     except Exception as exc:
         import traceback
 
@@ -322,3 +498,98 @@ def gaussian_cov(
     from . import finalize_state
 
     return finalize_state(state)
+
+
+# --------------------------------------------------------------------------- #
+# chunked path (dense-A fast path)                                             #
+# --------------------------------------------------------------------------- #
+
+
+def _build_cov_chunk_step(num_groups: int, qmax: int):
+    """lax.scan over a batch of lambdas for the covariance method with a
+    device-resident dense A (one host round trip per chunk; the per-lambda
+    loop costs ~3 tunnel RTTs otherwise)."""
+    import jax
+
+    @jax.jit
+    def chunk_step(
+        A_full,                          # (p, p) device
+        v_full,                          # (p,)
+        A_s, cols_padded,                # screen cache
+        slot_begin, slot_size, eigvals, eigvecs, penalty_slots,
+        beta0, active0,
+        group_ids, penalty_cols, penalty_groups, is_screen_mask,
+        lmdas, valid,
+        alpha, tol, dbeta_tol, newton_tol, newton_max_iters, max_iters,
+        rsq0, rdev_tol, early_exit_on, prev_dev, have_prev_dev,
+    ):
+        dtype = beta0.dtype
+        ok = cols_padded >= 0
+        safe = jnp.where(ok, cols_padded, 0)
+        v_s = jnp.where(ok, v_full[safe], 0.0)
+
+        def per_lambda(carry, inp):
+            beta, active, rsq, abs_grad_c, stopped, prev_dev, have_prev = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                beta, active, rsq, abs_grad_c, stopped, prev_dev, have_prev = args
+                grad_s = v_s - A_s @ beta
+                beta_n, _, active_n, rsq_n, _, done = pin_cov_solve(
+                    A_s, grad_s, beta, slot_begin, slot_size, eigvals,
+                    eigvecs, penalty_slots, active, lmda, alpha, tol,
+                    dbeta_tol, newton_tol, newton_max_iters, max_iters, rsq,
+                )
+                # invariance: grad = v - A[:, cols] beta (solver_gaussian_cov)
+                A_cols = A_full[:, safe] * ok[None, :]
+                grad = v_full - A_cols @ beta_n
+                beta_cols = jnp.zeros_like(grad).at[safe].set(
+                    jnp.where(ok, beta_n, 0.0), mode="drop"
+                )
+                l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
+                gadj = grad - l2s * (penalty_cols * beta_cols)
+                sq = jax.ops.segment_sum(gadj * gadj, group_ids,
+                                         num_segments=num_groups)
+                abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
+                viol = abs_grad > lmda * alpha * penalty_groups
+                kkt = ~jnp.any(viol & ~is_screen_mask)
+                accept = done & kkt
+                dev = rsq_n
+                early = early_exit_on & accept & have_prev & (
+                    dev - prev_dev <= rdev_tol * dev
+                )
+                stopped_n = (~accept) | early
+                carry_n = (beta_n, active_n, rsq_n, abs_grad, stopped_n,
+                           jnp.where(accept, dev, prev_dev),
+                           have_prev | accept)
+                emit = (beta_n, rsq_n, accept, kkt, done,
+                        jnp.ones((), bool))
+                return carry_n, emit
+
+            def skip(args):
+                beta = args[0]
+                emit = (beta, jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), bool), jnp.zeros((), bool),
+                        jnp.zeros((), bool))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, rsq0,
+                jnp.zeros((num_groups,), dtype), jnp.zeros((), bool),
+                prev_dev, have_prev_dev)
+        return jax.lax.scan(per_lambda, init, (lmdas, valid))
+
+    return chunk_step
+
+
+_COV_STEP_CACHE = {}
+
+
+def _get_cov_chunk_step(num_groups, qmax):
+    key = (int(num_groups), int(qmax))
+    hit = _COV_STEP_CACHE.get(key)
+    if hit is None:
+        hit = _COV_STEP_CACHE[key] = _build_cov_chunk_step(num_groups, qmax)
+    return hit

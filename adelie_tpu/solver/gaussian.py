@@ -247,8 +247,10 @@ class GaussianNaiveDriver:
             s.resid_sum = float(rsums_np[n_proc - 1]) if n_proc else s.resid_sum
             s.abs_grad = np.asarray(abs_grad_h)
             s.lmda = float(lm_pad[n_proc - 1])
-            self._prev_dev = float(prev_dev_h)
-            self._have_prev_dev = bool(have_prev_h)
+            if record:
+                # dry fits must not seed the ddev early-exit comparison
+                self._prev_dev = float(prev_dev_h)
+                self._have_prev_dev = bool(have_prev_h)
         s.benchmark["fit_screen"].append(sw.elapsed())
         return n_acc, early_stopped
 

@@ -390,8 +390,10 @@ class GlmNaiveDriver:
             s.resid = resid_f
             s.beta0 = float(b0_h)
             s.abs_grad = np.asarray(ag_h)
-            self._prev_dev = float(prevdev_h)
-            self._have_prev_dev = bool(haveprev_h)
+            if record:
+                # dry fits must not seed the ddev early-exit comparison
+                self._prev_dev = float(prevdev_h)
+                self._have_prev_dev = bool(haveprev_h)
             if n_proc:
                 s.lmda = float(lm_pad[n_proc - 1])
 
