@@ -49,11 +49,24 @@ def _wrap_naive(mat, dtype=None):
     return MatrixNaiveDense(mat, dtype=dtype)
 
 
-def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
+def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
+          mesh=None):
     """Dense matrix (reference matrix.py:549).  ``n_threads`` accepted for
-    API parity; parallelism is XLA's concern here."""
+    API parity; parallelism is XLA's concern here.
+
+    ``mesh``: a ``jax.sharding.Mesh`` (or None to use
+    ``adelie_tpu.parallel.use_mesh``'s active mesh) — the observation axis
+    is sharded across it and every solver step runs SPMD with XLA-inserted
+    collectives (validated to produce identical solutions in
+    tests/test_mesh.py)."""
     if method == "naive":
-        return MatrixNaiveDense(mat, dtype=dtype)
+        m = MatrixNaiveDense(mat, dtype=dtype)
+        from ..parallel import active_mesh, shard_rows
+
+        mesh = mesh or active_mesh()
+        if mesh is not None:
+            m._mat = shard_rows(m._mat, mesh)
+        return m
     if method == "cov":
         return MatrixCovDense(mat, dtype=dtype)
     if method == "constraint":

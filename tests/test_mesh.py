@@ -61,3 +61,58 @@ def test_sharded_fit_matches_single_device():
         jax.block_until_ready(out_mesh)
     beta_mesh = np.asarray(out_mesh[0])
     np.testing.assert_allclose(beta_mesh, beta_single, atol=1e-5)  # f32 reduction-order noise
+
+
+def test_grpnet_spmd_matches_single_device():
+    """grpnet with the matrix row-sharded over the mesh returns identical
+    solutions (XLA propagates shardings through the fused chunk steps and
+    inserts the ICI collectives)."""
+    from jax.sharding import Mesh
+    from adelie_tpu import parallel
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(0)
+    n, p = 512, 40
+    X = rng.standard_normal((n, p))
+    y = X[:, :3] @ [1.0, -1.0, 0.5] + 0.1 * rng.standard_normal(n)
+    glm = ad.glm.gaussian(y)
+
+    st_ref = ad.grpnet(X, glm, lmda_path_size=8, min_ratio=0.1,
+                       progress_bar=False)
+
+    mesh = parallel.make_mesh(8)
+    Xm = ad.matrix.dense(X, mesh=mesh)
+    st_sh = ad.grpnet(Xm, glm, lmda_path_size=8, min_ratio=0.1,
+                      progress_bar=False)
+    assert st_sh.error == ""
+    B1 = np.asarray(st_ref.betas.todense())
+    B2 = np.asarray(st_sh.betas.todense())
+    np.testing.assert_allclose(B1, B2, atol=1e-9)
+
+    # GLM (IRLS) path under the mesh
+    glmb = ad.glm.binomial((y > 0).astype(float))
+    s1 = ad.grpnet(X, glmb, lmda_path_size=5, min_ratio=0.2,
+                   progress_bar=False)
+    s2 = ad.grpnet(Xm, glmb, lmda_path_size=5, min_ratio=0.2,
+                   progress_bar=False)
+    np.testing.assert_allclose(
+        np.asarray(s1.betas.todense()), np.asarray(s2.betas.todense()),
+        atol=1e-8,
+    )
+
+
+def test_use_mesh_context():
+    from adelie_tpu import parallel
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((256, 10))
+    y = X[:, 0] + 0.1 * rng.standard_normal(256)
+    mesh = parallel.make_mesh(8)
+    with parallel.use_mesh(mesh):
+        Xm = ad.matrix.dense(X)
+    # the device array is sharded over 8 devices
+    assert len(Xm._mat.sharding.device_set) == 8
+    st = ad.grpnet(Xm, ad.glm.gaussian(y), lmda_path_size=4,
+                   progress_bar=False)
+    assert st.error == ""
