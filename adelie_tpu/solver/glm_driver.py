@@ -179,104 +179,6 @@ class GlmNaiveDriver:
         self._last_loss = float(loss_h)
         return sw.elapsed()
 
-    def _fit_unfused(self, lmda):
-        s = self.s
-        glm = s.glm
-        dtype = s.dtype
-        sw = Stopwatch().start()
-        cache = s.ensure_screen_cache()
-
-        saved_beta = s.screen_beta.copy()
-        saved_active = s.screen_is_active.copy()
-
-        eta = s.eta
-        resid = s.resid
-        beta0 = s.beta0
-
-        try:
-            for irls_it in range(s.irls_max_iters):
-                grad_n = resid
-                hess = _hessian_floor(glm.hessian(eta, grad_n), dtype)
-                irls_resid = glm.inv_hessian_gradient(eta, grad_n, hess)
-                hess_sum = jnp.sum(hess)
-                irls_weights = hess / hess_sum
-                irls_y = irls_resid + eta - s.offsets
-                y_mean = jnp.sum(irls_weights * irls_y)
-                y_var = jnp.sum(irls_weights * irls_y**2) - (
-                    y_mean**2 if s.intercept else 0.0
-                )
-                if s.intercept:
-                    irls_resid = irls_resid + (beta0 - y_mean)
-                resid_sum = jnp.sum(irls_weights * irls_resid)
-                lmda_adj = lmda / float(hess_sum)
-
-                # recompute weighted Gram + eigh under the new weights
-                cache.rebuild_weighted(irls_weights, s.intercept)
-
-                # centered working gradient on the screen block
-                grad_s = screen_grad_kernel(
-                    cache.Xs,
-                    irls_weights * irls_resid,
-                    cache.means_s if s.intercept else jnp.zeros_like(cache.means_s),
-                    resid_sum,
-                )
-
-                beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
-                active0 = cache.pad_group_bools(s.screen_is_active)
-                tol_adj = s.tol * (s.loss_null - s.loss_full) / float(hess_sum)
-
-                beta, _, active, _, iters, done = pin_cov_solve(
-                    cache.A,
-                    grad_s,
-                    beta0_dev,
-                    cache.slot_begin,
-                    cache.slot_size,
-                    cache.eigvals,
-                    cache.eigvecs,
-                    cache.penalty_slots,
-                    active0,
-                    jnp.asarray(lmda_adj, dtype),
-                    jnp.asarray(s.alpha, dtype),
-                    jnp.asarray(tol_adj, dtype),
-                    jnp.asarray(configs.dbeta_tol, dtype),
-                    jnp.asarray(s.newton_tol, dtype),
-                    jnp.asarray(s.newton_max_iters, jnp.int32),
-                    jnp.asarray(s.max_iters, jnp.int32),
-                    jnp.zeros((), dtype),
-                )
-                if not bool(done):
-                    raise MaxCDsError()
-
-                dbeta = beta - beta0_dev
-                irls_resid, resid_sum_new = resid_update_kernel(
-                    irls_resid, cache.Xs, dbeta, irls_weights
-                )
-                s.screen_beta = np.asarray(beta)[: cache.S_val].copy()
-                s.screen_is_active = np.asarray(active)[: len(s.screen_set)].copy()
-
-                beta0_new = (
-                    float(y_mean + resid_sum_new) if s.intercept else 0.0
-                )
-
-                eta_prev, resid_prev = eta, resid
-                eta = irls_y + s.offsets - irls_resid
-                if s.intercept:
-                    eta = eta + (beta0_new - y_mean)
-                resid = glm.gradient(eta)
-                beta0 = beta0_new
-
-                crit = float(jnp.abs(jnp.sum((resid - resid_prev) * (eta - eta_prev))))
-                if crit <= s.irls_tol:
-                    s.eta = eta
-                    s.resid = resid
-                    s.beta0 = beta0
-                    return sw.elapsed()
-            raise SolverError("Maximum IRLS iterations reached.")
-        except Exception:
-            s.screen_beta = saved_beta
-            s.screen_is_active = saved_active
-            raise
-
     def update_invariance(self, lmda):
         # grad/abs_grad are folded into the fused fit step; record lambda
         s = self.s
