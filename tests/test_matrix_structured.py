@@ -214,3 +214,59 @@ def test_grpnet_on_structured():
     B4 = np.asarray(st4.betas.todense())
     L = min(len(B3), len(B4))
     assert np.allclose(B3[:L], B4[:L], atol=1e-7)
+
+
+def test_grpnet_wrapper_matrices():
+    """standardize / concatenate / block_diag / subset through grpnet match
+    the equivalent dense fits."""
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(10)
+    n, p = 90, 8
+    X = rng.standard_normal((n, p)) * 2 + 1
+    y = X[:, 0] - X[:, 3] + 0.1 * rng.standard_normal(n)
+    glm = ad.glm.gaussian(y)
+    kw = dict(lmda_path_size=6, min_ratio=0.2, progress_bar=False,
+              early_exit=False)
+
+    # standardize == dense on the standardized matrix
+    c = X.mean(0)
+    s = np.sqrt(((X - c) ** 2).mean(0))
+    st1 = ad.grpnet(mx.standardize(X), glm, **kw)
+    st2 = ad.grpnet((X - c) / s, glm, **kw)
+    np.testing.assert_allclose(
+        np.asarray(st1.betas.todense()), np.asarray(st2.betas.todense()),
+        atol=1e-8,
+    )
+
+    # concatenate == dense hstack
+    A, B = X[:, :3], X[:, 3:]
+    st3 = ad.grpnet(mx.concatenate([mx.dense(A), mx.dense(B)], axis=1),
+                    glm, **kw)
+    st4 = ad.grpnet(X, glm, **kw)
+    np.testing.assert_allclose(
+        np.asarray(st3.betas.todense()), np.asarray(st4.betas.todense()),
+        atol=1e-8,
+    )
+
+    # column subset == dense on those columns
+    idx = np.array([0, 2, 3, 7])
+    st5 = ad.grpnet(mx.subset(X, idx, axis=1), glm, **kw)
+    st6 = ad.grpnet(X[:, idx], glm, **kw)
+    np.testing.assert_allclose(
+        np.asarray(st5.betas.todense()), np.asarray(st6.betas.todense()),
+        atol=1e-8,
+    )
+
+    # block_diag == dense block-diagonal (stacked problems)
+    y2 = np.concatenate([y, y[::-1]])
+    glm2 = ad.glm.gaussian(y2)
+    Z = np.zeros((2 * n, 2 * p))
+    Z[:n, :p] = X
+    Z[n:, p:] = X
+    st7 = ad.grpnet(mx.block_diag([mx.dense(X), mx.dense(X)]), glm2, **kw)
+    st8 = ad.grpnet(Z, glm2, **kw)
+    np.testing.assert_allclose(
+        np.asarray(st7.betas.todense()), np.asarray(st8.betas.todense()),
+        atol=1e-8,
+    )
