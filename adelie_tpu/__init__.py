@@ -49,7 +49,8 @@ from .solver import grpnet, gaussian_cov  # noqa: E402
 
 def __getattr__(name):
     # lazy subpackages to keep import light
-    if name in ("constraint", "cv", "diagnostic", "io", "sklearn", "state", "parallel"):
+    if name in ("constraint", "cv", "diagnostic", "io", "optimization",
+                "sklearn", "state", "parallel"):
         import importlib
 
         mod = importlib.import_module(f".{name}", __name__)
@@ -59,4 +60,12 @@ def __getattr__(name):
         from .cv import cv_grpnet
 
         return cv_grpnet
+    if name in ("bvls", "pinball", "css_cov"):
+        from . import solver as _s
+
+        return getattr(_s, name)
+    if name in ("GroupElasticNet", "CSSModelSelection"):
+        from . import sklearn as _sk
+
+        return getattr(_sk, name)
     raise AttributeError(f"module 'adelie_tpu' has no attribute {name!r}")

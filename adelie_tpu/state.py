@@ -18,8 +18,13 @@ __all__ = [
     "gaussian_naive",
     "glm_naive",
     "gaussian_cov",
+    "gaussian_pin_naive",
+    "gaussian_pin_cov",
     "multigaussian_naive",
     "multiglm_naive",
+    "bvls",
+    "pinball",
+    "css_cov",
     "check_state",
 ]
 
@@ -162,5 +167,77 @@ def multiglm_naive(*, X, glm, **kwargs):
     class _S:
         def solve(self, progress_bar=False, exit_cond=None):
             return run(progress_bar, exit_cond)
+
+    return _S()
+
+
+def bvls(*, X, y, lower, upper, **kwargs):
+    """BVLS solver state (reference state.py bvls)."""
+    from .solver._bvls import bvls as _impl
+
+    class _S:
+        def solve(self):
+            return _impl(X, y, lower, upper, **kwargs)
+
+    return _S()
+
+
+def pinball(*, A, S, v, penalty_neg, penalty_pos, **kwargs):
+    """Pinball solver state (reference state.py pinball)."""
+    from .solver._pinball import pinball as _impl
+
+    class _S:
+        def solve(self):
+            return _impl(A, S, v, penalty_neg, penalty_pos, **kwargs)
+
+    return _S()
+
+
+def css_cov(*, S, subset_size=None, **kwargs):
+    """CSS solver state (reference state.py css_cov)."""
+    from .solver._css import css_cov as _impl
+
+    class _S:
+        def solve(self):
+            return _impl(S, subset_size, **kwargs)
+
+    return _S()
+
+
+def gaussian_pin_naive(*, X, y_or_resid=None, groups=None, lmda_path=None,
+                       **kwargs):
+    """Pin solver over a FIXED screen set (reference state.py
+    gaussian_pin_naive): fit the given lambdas with screening disabled
+    (screen set = all given groups)."""
+    import numpy as np
+
+    from . import glm as glm_mod
+    from .solver import grpnet
+
+    def run(progress_bar=False, exit_cond=None):
+        glm = glm_mod.gaussian(np.asarray(y_or_resid))
+        return grpnet(
+            X, glm, groups=groups, lmda_path=lmda_path,
+            screen_rule="strong", max_screen_size=None,
+            progress_bar=progress_bar, exit_cond=exit_cond, **kwargs,
+        )
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return run(progress_bar, exit_cond)
+
+    return _S()
+
+
+def gaussian_pin_cov(*, A, v, groups=None, lmda_path=None, **kwargs):
+    """Covariance-form pin solver state (reference state.py
+    gaussian_pin_cov)."""
+    from .solver import gaussian_cov as _impl
+
+    class _S:
+        def solve(self, progress_bar=False, exit_cond=None):
+            return _impl(A=A, v=v, groups=groups, lmda_path=lmda_path,
+                         progress_bar=progress_bar, exit_cond=exit_cond,
+                         **kwargs)
 
     return _S()
