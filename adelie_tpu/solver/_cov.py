@@ -265,7 +265,19 @@ class GaussianCovDriver:
 
         s = self.s
         sw = Stopwatch().start()
+        if exit_cond is not None:
+            # user exit conditions are evaluated per lambda in the
+            # reference (solver.py:590-603); drop to per-lambda chunks
+            s.lmda_chunk = 1
         exit_cond = exit_cond or (lambda *a: False)
+        pbar = None
+        if progress_bar:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=int(s.lmda_path_size or 0) or None)
+            except Exception:
+                pbar = None
 
         if s.setup_lmda_max and s.lmda_max is None:
             self._run_chunk([self.large_lmda()], record=False)
@@ -307,6 +319,10 @@ class GaussianCovDriver:
 
             n_acc, early = self._run_chunk(chunk, record=True)
             idx += n_acc
+            if pbar is not None and n_acc:
+                pbar.update(n_acc)
+                if len(s.devs):
+                    pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
             kkt_passed = n_acc == C
             if n_acc:
                 n_new_active = s.active_set_size - current_active
@@ -314,6 +330,8 @@ class GaussianCovDriver:
             if early or exit_cond(s):
                 break
 
+        if pbar is not None:
+            pbar.close()
         s.total_time = sw.elapsed()
         return s
 

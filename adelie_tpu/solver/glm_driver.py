@@ -341,7 +341,19 @@ class GlmNaiveDriver:
 
         s = self.s
         sw = Stopwatch().start()
+        if exit_cond is not None:
+            # user exit conditions are evaluated per lambda in the
+            # reference (solver.py:590-603); drop to per-lambda chunks
+            s.lmda_chunk = 1
         exit_cond = exit_cond or (lambda *a: False)
+        pbar = None
+        if progress_bar:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=int(s.lmda_path_size or 0) or None)
+            except Exception:
+                pbar = None
 
         self.update_loss_null()
 
@@ -385,6 +397,10 @@ class GlmNaiveDriver:
 
             n_acc, early = self._run_chunk(chunk, record=True)
             idx += n_acc
+            if pbar is not None and n_acc:
+                pbar.update(n_acc)
+                if len(s.devs):
+                    pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
             kkt_passed = n_acc == C
             if n_acc:
                 n_new_active = s.active_set_size - current_active
@@ -392,5 +408,7 @@ class GlmNaiveDriver:
             if early or exit_cond(s):
                 break
 
+        if pbar is not None:
+            pbar.close()
         s.total_time = sw.elapsed()
         return s

@@ -93,3 +93,23 @@ def test_single_lambda_and_tiny():
     st2 = ad.grpnet(X[:, :1], ad.glm.gaussian(y), lmda_path_size=3,
                     progress_bar=False)
     assert st2.error == ""
+
+
+def test_exit_cond_and_progress_bar(capsys):
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((60, 8))
+    y = X[:, 0] + 0.1 * rng.standard_normal(60)
+
+    calls = []
+
+    def exit_after_first(state):
+        calls.append(len(state.lmdas))
+        return len(state.lmdas) >= 1
+
+    st = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=20, min_ratio=0.01,
+                   progress_bar=True, exit_cond=exit_after_first,
+                   early_exit=False)
+    assert st.error == ""
+    assert len(calls) >= 1
+    # exit_cond stopped the path well short of 20
+    assert len(st.lmdas) < 20
