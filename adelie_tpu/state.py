@@ -241,3 +241,55 @@ def gaussian_pin_cov(*, A, v, groups=None, lmda_path=None, **kwargs):
                          **kwargs)
 
     return _S()
+
+
+# --------------------------------------------------------------------------- #
+# checkpointing (beyond the reference: it keeps states in-memory only,        #
+# SURVEY.md section 5 'Checkpoint / resume')                                   #
+# --------------------------------------------------------------------------- #
+
+_WS_FIELDS = [
+    "screen_set", "screen_begins", "screen_beta", "screen_is_active",
+    "lmda", "lmda_max", "abs_grad",
+]
+_WS_GAUSSIAN = ["y_mean", "y_var", "rsq", "resid_sum"]
+_WS_ARRAYS = ["resid", "grad", "X_means", "weights", "eta"]
+
+
+def save_state(state, path):
+    """Serialize the warm-start-relevant fields of a solved state to .npz.
+
+    ``grpnet(..., warm_start=load_warm_start(path))`` resumes the path
+    (the state object itself is the checkpoint, reference
+    solver.py:856-884; this adds the missing disk round trip).
+    """
+    out = {}
+    for f in _WS_FIELDS + _WS_GAUSSIAN + _WS_ARRAYS + [
+        "beta0", "loss_null", "loss_full",
+    ]:
+        v = getattr(state, f, None)
+        if v is None:
+            continue
+        out[f] = np.asarray(v)
+    np.savez(path, **out)
+    return path
+
+
+class _WarmStart:
+    pass
+
+
+def load_warm_start(path):
+    """Load a saved state as a warm-start object for grpnet/gaussian_cov."""
+    data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz",
+                   allow_pickle=False)
+    ws = _WarmStart()
+    for k in data.files:
+        v = data[k]
+        setattr(ws, k, float(v) if v.ndim == 0 else v)
+    import jax.numpy as jnp
+
+    for f in _WS_ARRAYS:
+        if hasattr(ws, f):
+            setattr(ws, f, jnp.asarray(getattr(ws, f)))
+    return ws

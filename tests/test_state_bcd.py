@@ -79,3 +79,25 @@ def test_bcd_unknown_solver():
     with pytest.raises(ValueError):
         bcd.solve(quad=np.ones(2), linear=np.ones(2), l1=0.1, l2=0.0,
                   solver="bogus")
+
+
+def test_save_load_warm_start(tmp_path):
+    """Checkpoint to disk, resume the path in a 'new process' state."""
+    X, y = _data(n=100, p=12, seed=9)
+    st = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=6, min_ratio=0.2,
+                   progress_bar=False, early_exit=False)
+    f = str(tmp_path / "ckpt.npz")
+    state.save_state(st, f)
+
+    ws = state.load_warm_start(f)
+    ext = st.lmdas[-1] * np.array([0.5, 0.25])
+    st2 = ad.grpnet(X, ad.glm.gaussian(y), warm_start=ws, lmda_path=ext,
+                    progress_bar=False, early_exit=False)
+    assert st2.error == ""
+    # continuing from scratch down the concatenated path must agree
+    full = np.concatenate([st.lmdas, ext])
+    st3 = ad.grpnet(X, ad.glm.gaussian(y), lmda_path=full,
+                    progress_bar=False, early_exit=False)
+    B2 = np.asarray(st2.betas.todense())
+    B3 = np.asarray(st3.betas.todense())[-2:]
+    np.testing.assert_allclose(B2, B3, atol=1e-8)
