@@ -52,3 +52,104 @@ def test_gaussian_grid(n, p, G, alpha, intercept):
         assert close or ours <= oracle + 1e-8 * max(1.0, abs(oracle)), (
             li, ours - oracle
         )
+
+
+def _fista_glm(X, y, w, lmda, penalty, groups, group_sizes, grad_mu,
+               L_scale, intercept=True, max_iters=300000, tol=1e-13):
+    """Proximal gradient for a generic GLM with mean function ``grad_mu``."""
+    n, p = X.shape
+    Xw = X * w[:, None]
+    L = L_scale * (np.linalg.eigvalsh(X.T @ Xw)[-1] + w.sum())
+    t = 1.0 / max(L, 1e-10)
+    beta = np.zeros(p)
+    b0 = 0.0
+    z, zb0, s = beta.copy(), b0, 1.0
+    thresh = t * lmda * penalty
+    for it in range(max_iters):
+        eta = X @ z + zb0
+        r = w * (grad_mu(eta) - y)
+        g = X.T @ r
+        g0 = r.sum() if intercept else 0.0
+        u = z - t * g
+        beta_new = np.zeros(p)
+        for gi, (st_, q) in enumerate(zip(groups, group_sizes)):
+            seg = u[st_:st_ + q]
+            nrm = np.linalg.norm(seg)
+            if nrm > thresh[gi]:
+                beta_new[st_:st_ + q] = (1 - thresh[gi] / nrm) * seg
+        b0_new = zb0 - t * g0 if intercept else 0.0
+        s_new = 0.5 * (1 + np.sqrt(1 + 4 * s * s))
+        z = beta_new + ((s - 1) / s_new) * (beta_new - beta)
+        zb0 = b0_new + ((s - 1) / s_new) * (b0_new - b0)
+        if np.linalg.norm(beta_new - beta) + abs(b0_new - b0) < tol:
+            beta, b0 = beta_new, b0_new
+            break
+        beta, b0, s = beta_new, b0_new, s_new
+    return beta, b0
+
+
+@pytest.mark.parametrize("family", ["poisson", "probit"])
+def test_glm_families_vs_oracle(family):
+    import scipy.stats
+
+    rng = np.random.default_rng(11)
+    n, p = 120, 8
+    X = rng.standard_normal((n, p)) * 0.5
+    eta_true = X[:, 0] - 0.5 * X[:, 2]
+    w = np.full(n, 1.0 / n)
+    groups = np.arange(p)
+    group_sizes = np.ones(p, int)
+    penalty = np.ones(p)
+
+    if family == "poisson":
+        y = rng.poisson(np.exp(eta_true)).astype(float)
+        glm = ad.glm.poisson(y)
+        grad_mu = np.exp
+        L_scale = float(np.exp(2.0))  # bound on exp(eta) over the iterates
+        loss = lambda eta: np.sum(w * (np.exp(eta) - y * eta))
+    else:
+        prob = scipy.stats.norm.cdf(eta_true)
+        y = (rng.uniform(size=n) < prob).astype(float)
+        glm = ad.glm.binomial(y, link="probit")
+        grad_mu = None  # handled below
+        loss = lambda eta: -np.sum(w * (
+            y * scipy.stats.norm.logcdf(eta)
+            + (1 - y) * scipy.stats.norm.logcdf(-eta)
+        ))
+
+    state = ad.grpnet(X, glm, lmda_path_size=4, min_ratio=0.3, tol=1e-11,
+                      irls_tol=1e-11, progress_bar=False, early_exit=False)
+    assert state.error == "", state.error
+    B = np.asarray(state.betas.todense())
+
+    for li in [1, len(state.lmdas) - 1]:
+        lmda = state.lmdas[li]
+        if family == "poisson":
+            beta_o, b0_o = _fista_glm(X, y, w, lmda, penalty, groups,
+                                      group_sizes, grad_mu, L_scale)
+        else:
+            # probit: verify by KKT instead (the probit hessian bound makes
+            # a clean global L awkward)
+            beta_o = b0_o = None
+        obj_ours = loss(X @ B[li] + state.intercepts[li]) + lmda * np.sum(
+            np.abs(B[li])
+        )
+        if beta_o is not None:
+            obj_oracle = loss(X @ beta_o + b0_o) + lmda * np.sum(np.abs(beta_o))
+            assert obj_ours <= obj_oracle + 1e-7 * max(1.0, abs(obj_oracle)), (
+                li, obj_ours - obj_oracle
+            )
+        else:
+            # KKT: |X^T (-grad loss)| <= lmda outside the active set
+            import jax.numpy as jnp
+
+            resid = np.asarray(glm.gradient(jnp.asarray(
+                X @ B[li] + state.intercepts[li]
+            )))
+            gfull = X.T @ resid
+            active = np.abs(B[li]) > 1e-10
+            assert np.all(np.abs(gfull[~active]) <= lmda + 5e-4)
+            if active.any():
+                np.testing.assert_allclose(
+                    gfull[active], lmda * np.sign(B[li][active]), atol=5e-4
+                )
