@@ -81,10 +81,6 @@ def grpnet(
         from .constrained import check_constraints_supported
 
         check_constraints_supported(constraints)
-        if glm.is_multi:
-            raise NotImplementedError(
-                "constraints with multi-response GLMs are not supported yet"
-            )
 
     y_arr = np.asarray(glm.y)
     if offsets is None:
@@ -109,6 +105,7 @@ def grpnet(
 
         return build_multi_problem(
             X=X, glm=glm, groups=groups, alpha=alpha, penalty=penalty,
+            constraints=list(constraints) if has_constraints else None,
             offsets=offsets_np, lmda_path=lmda_path, intercept=intercept,
             is_gaussian_opt=is_gaussian_opt, warm_start=warm_start,
             solver_kwargs=dict(

@@ -68,8 +68,10 @@ class ConstraintPack:
         self.mmax = mmax
 
         A_pad = np.zeros((G_cap, mmax, qmax), dtype)
-        lo_pad = np.full((G_cap, mmax), -configs.max_solver_value, dtype)
-        hi_pad = np.full((G_cap, mmax), configs.max_solver_value, dtype)
+        # dtype-safe "unbounded" sentinel (max_solver_value overflows f32)
+        mx = min(configs.max_solver_value, float(np.finfo(dtype).max) * 0.5)
+        lo_pad = np.full((G_cap, mmax), -mx, dtype)
+        hi_pad = np.full((G_cap, mmax), mx, dtype)
         has_cons = np.zeros(G_cap, bool)
         mu0 = np.zeros((G_cap, mmax), dtype)
         for i, g in enumerate(ss):
@@ -79,8 +81,9 @@ class ConstraintPack:
             m, d = c.duals(), c.primals()
             A_pad[i, :m, :d] = np.asarray(c.A_dense(), dtype)
             lo, hi = c.zbounds()
-            lo_pad[i, :m] = lo
-            hi_pad[i, :m] = hi
+            # clamp f64 sentinels so the f32 pad doesn't overflow to inf
+            lo_pad[i, :m] = np.clip(np.asarray(lo, np.float64), -mx, mx)
+            hi_pad[i, :m] = np.clip(np.asarray(hi, np.float64), -mx, mx)
             has_cons[i] = True
             prev = self.mu_by_group.get(int(g))
             if prev is not None:
@@ -268,12 +271,15 @@ class ConstrainedGaussianDriver:
 class ConstrainedGlmDriver:
     """GLM (IRLS) path driver with constraints."""
 
-    def __init__(self, state, constraints):
+    def __init__(self, state, constraints, base=None):
         from .glm_driver import GlmNaiveDriver
 
         self.s = state
         self.pack = ConstraintPack(constraints)
-        self._base = GlmNaiveDriver(state)
+        # ``base`` supplies update_loss_null/update_invariance/
+        # update_solutions; the multi-response path passes its
+        # per-class-intercept null-model driver here.
+        self._base = base if base is not None else GlmNaiveDriver(state)
 
     def large_lmda(self):
         return self._base.large_lmda()

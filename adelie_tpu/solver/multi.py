@@ -59,10 +59,12 @@ class MultiGlmNaiveDriver(GlmNaiveDriver):
 def build_multi_problem(
     X, glm, groups, alpha, penalty, offsets, lmda_path, intercept,
     is_gaussian_opt, warm_start, solver_kwargs, progress_bar, exit_cond,
+    constraints=None,
 ):
     n, p = X.rows(), X.cols()
     K = np.asarray(glm.y).shape[1]
     dtype = np.dtype(X.dtype)
+    G_user = len(groups)
 
     # flattened grouping (reference solver.py:703-712)
     groups = groups * K
@@ -83,6 +85,28 @@ def build_multi_problem(
 
     G = len(groups)
     p_aug = (p + int(intercept)) * K
+
+    # constraints apply per user feature group; each flattened group for
+    # feature group g spans all K classes, so the constraint's primal
+    # dimension must be group_size_user[g] * K.  Intercept groups are
+    # always unconstrained (reference state.py render_constraints:28-45
+    # prepends None for the leading K intercept groups).
+    if constraints is not None:
+        if len(constraints) == G_user and intercept:
+            constraints = [None] * K + list(constraints)
+        if len(constraints) != G:
+            raise ValueError(
+                f"constraints must have length {G_user} (one per feature "
+                f"group) or {G} (flattened groups incl. intercepts); got "
+                f"{len(constraints)}."
+            )
+        for i, c in enumerate(constraints):
+            if c is not None and c.primals() != int(group_sizes[i]):
+                raise ValueError(
+                    f"constraints[{i}] has primal dimension {c.primals()} "
+                    f"but the flattened group spans {int(group_sizes[i])} "
+                    f"coefficients (group size x {K} classes)."
+                )
 
     X_aug = matrix_mod.kronecker_eye(X, K)
     if intercept:
@@ -161,7 +185,12 @@ def build_multi_problem(
         )
         state.grad = grad
         state.K = K
-        driver = GaussianNaiveDriver(state)
+        if constraints is not None:
+            from .constrained import ConstrainedGaussianDriver
+
+            driver = ConstrainedGaussianDriver(state, constraints)
+        else:
+            driver = GaussianNaiveDriver(state)
     else:
         offs = jnp.asarray(offsets.reshape(-1), dtype)
         if warm_start is None:
@@ -187,6 +216,10 @@ def build_multi_problem(
         state.grad = grad
         state.K = K
         driver = MultiGlmNaiveDriver(state, K, intercept)
+        if constraints is not None:
+            from .constrained import ConstrainedGlmDriver
+
+            driver = ConstrainedGlmDriver(state, constraints, base=driver)
 
     # attach the (n, K) glm + offsets for diagnostics/CV
     state.glm_multi = glm

@@ -103,3 +103,112 @@ def test_multigaussian_diagnostics():
     B = np.asarray(state.betas.todense())[-1].reshape(p, K)
     expect = X @ B + np.asarray(state.intercepts)[-1][None, :]
     np.testing.assert_allclose(etas[-1], expect, atol=1e-8)
+
+
+def test_multigaussian_constraints_nonbinding():
+    """Huge box constraints must reproduce the unconstrained multi fit."""
+    n, p, K = 50, 5, 3
+    X, Y = _multi_data(n, p, K, seed=7)
+    glm = ad.glm.multigaussian(Y)
+
+    st0 = ad.grpnet(X, glm, lmda_path_size=5, min_ratio=0.3, tol=1e-12,
+                    progress_bar=False, early_exit=False)
+    cons = [ad.constraint.box(np.full(K, -1e8), np.full(K, 1e8))
+            for _ in range(p)]
+    st1 = ad.grpnet(X, ad.glm.multigaussian(Y), constraints=cons,
+                    lmda_path_size=5, min_ratio=0.3, tol=1e-12,
+                    progress_bar=False, early_exit=False)
+    assert st1.error == "", st1.error
+    np.testing.assert_allclose(st0.lmdas, st1.lmdas, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(st0.betas.todense()), np.asarray(st1.betas.todense()),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(st0.intercepts, st1.intercepts, atol=1e-7)
+
+
+def test_multigaussian_constraints_vs_flattened():
+    """Binding nonnegativity: multi fit == single-response fit on the
+    flattened kron(X, I_K) problem with the same constraints (that path
+    is oracle-verified in test_constrained_grpnet.py)."""
+    n, p, K = 40, 4, 2
+    X, Y = _multi_data(n, p, K, seed=8)
+    w = np.full(n, 1.0 / n)
+
+    cons = [ad.constraint.lower(np.zeros(K)) for _ in range(p)]
+    st = ad.grpnet(X, ad.glm.multigaussian(Y), constraints=cons,
+                   lmda_path_size=5, min_ratio=0.2, tol=1e-12,
+                   progress_bar=False, early_exit=False)
+    assert st.error == "", st.error
+    B = np.asarray(st.betas.todense())
+    assert np.all(B >= -1e-9)
+
+    # flattened single-response problem
+    X_aug = np.concatenate(
+        [np.kron(np.ones((n, 1)), np.eye(K)), np.kron(X, np.eye(K))], axis=1
+    )
+    y_flat = Y.reshape(-1)
+    w_flat = np.repeat(w / K, K)
+    groups = np.concatenate([np.arange(K), K + np.arange(p) * K])
+    cons_flat = [None] * K + [ad.constraint.lower(np.zeros(K))
+                              for _ in range(p)]
+    penalty = np.concatenate([np.zeros(K), np.full(p, np.sqrt(K))])
+    st2 = ad.grpnet(
+        X_aug, ad.glm.gaussian(y_flat, weights=w_flat), groups=groups,
+        penalty=penalty, constraints=cons_flat, intercept=False,
+        lmda_path=np.asarray(st.lmdas), tol=1e-12, progress_bar=False,
+        early_exit=False,
+    )
+    assert st2.error == "", st2.error
+    B2 = np.asarray(st2.betas.todense())
+    np.testing.assert_allclose(B, B2[:, K:], atol=1e-7)
+    np.testing.assert_allclose(st.intercepts, B2[:, :K], atol=1e-7)
+
+
+def test_multinomial_constraints():
+    """Multinomial + box constraints: feasibility + non-binding equality."""
+    rng = np.random.default_rng(9)
+    n, p, K = 60, 4, 3
+    X = rng.standard_normal((n, p))
+    eta = X[:, :2] @ rng.standard_normal((2, K))
+    probs = np.exp(eta) / np.exp(eta).sum(1, keepdims=True)
+    Y = np.zeros((n, K))
+    for i in range(n):
+        Y[i, rng.choice(K, p=probs[i])] = 1.0
+
+    st0 = ad.grpnet(X, ad.glm.multinomial(Y), lmda_path_size=4,
+                    min_ratio=0.3, tol=1e-11, irls_tol=1e-11,
+                    progress_bar=False, early_exit=False)
+    cons = [ad.constraint.box(np.full(K, -1e8), np.full(K, 1e8))
+            for _ in range(p)]
+    st1 = ad.grpnet(X, ad.glm.multinomial(Y), constraints=cons,
+                    lmda_path_size=4, min_ratio=0.3, tol=1e-11,
+                    irls_tol=1e-11, progress_bar=False, early_exit=False)
+    assert st1.error == "", st1.error
+    np.testing.assert_allclose(
+        np.asarray(st0.betas.todense()), np.asarray(st1.betas.todense()),
+        atol=1e-5,
+    )
+
+    # binding: cap every coefficient at 0.05
+    cap = [ad.constraint.box(np.full(K, -0.05), np.full(K, 0.05))
+           for _ in range(p)]
+    st2 = ad.grpnet(X, ad.glm.multinomial(Y), constraints=cap,
+                    lmda_path_size=4, min_ratio=0.3, progress_bar=False,
+                    early_exit=False)
+    assert st2.error == "", st2.error
+    B2 = np.asarray(st2.betas.todense())
+    assert np.all(np.abs(B2) <= 0.05 + 1e-7)
+
+
+def test_multi_constraints_bad_dims():
+    n, p, K = 30, 4, 2
+    X, Y = _multi_data(n, p, K, seed=10)
+    with pytest.raises(ValueError, match="primal dimension"):
+        ad.grpnet(X, ad.glm.multigaussian(Y),
+                  constraints=[ad.constraint.lower(np.zeros(K + 1))] * p,
+                  progress_bar=False)
+    with pytest.raises(ValueError, match="length"):
+        ad.grpnet(X, ad.glm.multigaussian(Y),
+                  constraints=[ad.constraint.lower(np.zeros(K))] * (p + 1),
+                  progress_bar=False)
