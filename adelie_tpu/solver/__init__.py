@@ -6,6 +6,7 @@ dispatching to the gaussian fast path (no IRLS) when possible
 ``X (x) I_K`` (reference solver.py:700-763).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -96,6 +97,13 @@ def grpnet(
     if groups is None:
         groups = np.arange(p, dtype=int)
     groups = np.asarray(groups, int)
+
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        logger.warning(
+            "float64 inputs but jax x64 is disabled: computation runs in "
+            "float32, so tolerances below ~1e-7 may never be met (slow "
+            "convergence). Enable jax_enable_x64 or pass float32 data."
+        )
 
     is_gaussian_opt = glm.name in ("gaussian", "multigaussian") and glm.opt
 

@@ -146,17 +146,151 @@ def constrained_abs_grad(state, pack, lmda):
             state.abs_grad[g] = float(c.solve_zero(gslice))
 
 
+def build_constrained_chunk_step(X, intercept: bool, num_groups: int):
+    """Chunked (lax.scan over lambdas) constrained gaussian step.
+
+    Same shape as fused.build_gaussian_chunk_step but the pin solve is the
+    ADMM-augmented ``pin_cov_solve_constrained`` and the per-group duals
+    ``mu`` ride the scan carry.  Only used when EVERY group is screened
+    (the screen-all fast path), so the KKT check is vacuous and the
+    dual-corrected abs_grad is never needed inside the scan.
+    """
+    mul_fn, _ = X.mul_spec()
+
+    @jax.jit
+    def chunk_step(
+        X_data,
+        A, Xs, means_s,
+        slot_begin, slot_size, eigvals, eigvecs, penalty_slots,
+        beta0, active0,
+        resid0, w, X_means,
+        group_ids, penalty_cols, cols_padded,
+        has_cons, P, DH, UH, lo_pad, hi_pad, mu0,
+        rho, cons_tol, cons_max_iters,
+        lmdas, valid,
+        alpha, tol, dbeta_tol, newton_tol,
+        newton_max_iters, max_iters, rsq0,
+        y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
+    ):
+        dtype = beta0.dtype
+
+        def per_lambda(carry, inp):
+            (beta, active, resid, rsq, mu, grad_c, abs_grad_c, stopped,
+             prev_dev, have_prev) = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                (beta, active, resid, rsq, mu, grad_c, abs_grad_c, stopped,
+                 prev_dev, have_prev) = args
+                resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
+                vw = w * resid
+                grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
+                if intercept:
+                    grad_s = grad_s - means_s * resid_sum0
+
+                (beta_n, _, active_n, rsq_n, mu_n, iters, done
+                 ) = pin_cov_solve_constrained(
+                    A, grad_s, beta, slot_begin, slot_size, eigvals, eigvecs,
+                    penalty_slots, active,
+                    has_cons, P, DH, UH, lo_pad, hi_pad, mu,
+                    rho, cons_tol, cons_max_iters,
+                    lmda, alpha, tol, dbeta_tol,
+                    newton_tol, newton_max_iters, max_iters, rsq,
+                )
+
+                dbeta = beta_n - beta
+                resid_n = resid - jnp.matmul(Xs, dbeta, precision=_PRECISION)
+                resid_sum = jnp.vdot(w, resid_n, precision=_PRECISION)
+
+                grad = mul_fn(X_data, resid_n, w)
+                if intercept:
+                    grad = grad - resid_sum * X_means
+
+                # unconstrained-form abs_grad; the host applies the dual
+                # correction once per chunk (constrained_abs_grad)
+                ok = cols_padded >= 0
+                safe = jnp.where(ok, cols_padded, 0)
+                beta_cols = jnp.zeros_like(grad).at[safe].set(
+                    jnp.where(ok, beta_n, 0.0), mode="drop"
+                )
+                l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
+                gadj = grad - l2s * (penalty_cols * beta_cols)
+                sq = jax.ops.segment_sum(
+                    gadj * gadj, group_ids, num_segments=num_groups
+                )
+                abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
+
+                accept = done
+                dev = jnp.where(y_var > 0, rsq_n / y_var, 0.0)
+                early = early_exit_on & accept & (
+                    (dev >= adev_tol)
+                    | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
+                )
+                stopped_n = (~accept) | early
+
+                carry_n = (
+                    beta_n, active_n, resid_n, rsq_n, mu_n, grad, abs_grad,
+                    stopped_n,
+                    jnp.where(accept, dev, prev_dev),
+                    have_prev | accept,
+                )
+                emit = (beta_n, rsq_n, resid_sum, accept, done, dev,
+                        jnp.ones((), bool), iters, mu_n)
+                return carry_n, emit
+
+            def skip(args):
+                beta, active, _, _, mu, *_ = args
+                emit = (beta, jnp.zeros((), dtype), jnp.zeros((), dtype),
+                        jnp.zeros((), bool), jnp.zeros((), bool),
+                        jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), jnp.int32), mu)
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, resid0, rsq0, mu0,
+                jnp.zeros((X_means.shape[0],), dtype),
+                jnp.zeros((num_groups,), dtype),
+                jnp.zeros((), bool), prev_dev, have_prev_dev)
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+_CONS_CHUNK_CACHE = {}
+
+
+def get_constrained_chunk_step(X, intercept: bool, num_groups: int):
+    try:
+        key = (X.structure_key(), bool(intercept), int(num_groups))
+    except Exception:
+        return build_constrained_chunk_step(X, intercept, num_groups)
+    hit = _CONS_CHUNK_CACHE.get(key)
+    if hit is None:
+        hit = _CONS_CHUNK_CACHE[key] = build_constrained_chunk_step(
+            X, intercept, num_groups
+        )
+    return hit
+
+
 class ConstrainedGaussianDriver:
-    """Gaussian path driver with per-group constraints (used by solve_core).
+    """Gaussian path driver with per-group constraints.
 
     Per-lambda fit = one ``pin_cov_solve_constrained`` device call; the
     residual/gradient/invariance updates are the same MXU products as the
-    fused unconstrained path.
+    fused unconstrained path.  When every group is screened (the
+    screen-all fast path) the whole path runs lambda-CHUNKED — one device
+    call per ``lmda_chunk`` lambdas with the duals riding the scan carry.
     """
 
     def __init__(self, state, constraints):
         self.s = state
         self.pack = ConstraintPack(constraints)
+        self._X_data = state.X.mul_spec()[1]
+        self._prev_dev = 0.0
+        self._have_prev_dev = False
 
     def large_lmda(self):
         from ..utils import large_lmda
@@ -266,6 +400,196 @@ class ConstrainedGaussianDriver:
         if not hasattr(s, "duals"):
             s.duals = []
         s.duals.append(duals)
+
+    # ------------------------------------------------------------------ #
+    # chunked path (screen-all problems: one device call per lmda chunk)  #
+    # ------------------------------------------------------------------ #
+
+    def _run_chunk(self, lmdas, record):
+        """Fit a batch of lambdas in one device call (screen-all only)."""
+        s = self.s
+        sw = Stopwatch().start()
+        cache = self._ensure()
+        pk = self.pack
+        dtype = s.dtype
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+
+        carry, emits = self._chunk_step(
+            self._X_data,
+            cache.A, cache.Xs, cache.means_s,
+            cache.slot_begin, cache.slot_size, cache.eigvals, cache.eigvecs,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            s.resid, s.weights, s.X_means,
+            s._group_ids, s._penalty_cols, cache.cols_padded,
+            pk.has_cons, pk.P, pk.DH, pk.UH, pk.lo_pad, pk.hi_pad, pk.mu,
+            jnp.asarray(pk.rho, dtype),
+            jnp.asarray(pk.cons_tol, dtype),
+            jnp.asarray(pk.cons_max_iters, jnp.int32),
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(s.tol, dtype),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.rsq, dtype),
+            jnp.asarray(s.y_var, dtype), jnp.asarray(s.adev_tol, dtype),
+            jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+        )
+        (beta_f, active_f, resid_f, rsq_f, mu_f, grad_f, abs_grad_f,
+         stopped_f, prev_dev_f, have_prev_f) = carry
+        (betas_e, rsqs_e, rsums_e, accepts_e, dones_e, devs_e,
+         processed_e, iters_e, mus_e) = emits
+
+        (beta_h, active_h, rsq_h, abs_grad_h, prev_dev_h, have_prev_h,
+         betas_np, rsqs_np, rsums_np, accepts_np, dones_np, processed_np,
+         mus_np) = jax.device_get((
+            beta_f, active_f, rsq_f, abs_grad_f, prev_dev_f, have_prev_f,
+            betas_e, rsqs_e, rsums_e, accepts_e, dones_e, processed_e,
+            mus_e,
+        ))
+
+        if np.any(processed_np & ~dones_np):
+            raise MaxCDsError(int(np.argmax(processed_np & ~dones_np)))
+
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+        early_stopped = bool(
+            n_proc and bool(stopped_f) and bool(accepts_np[n_proc - 1])
+        )
+
+        if record:
+            from .gaussian import GaussianNaiveDriver
+
+            S_val = cache.S_val
+            for i in range(n_proc):
+                if not accepts_np[i]:
+                    s.n_valid_solutions.append(False)
+                    continue
+                GaussianNaiveDriver._record(
+                    self, lm_pad[i], np.asarray(betas_np[i][:S_val]),
+                    rsqs_np[i], rsums_np[i], cache,
+                )
+                # per-lambda duals from the emitted mu
+                duals = {}
+                for j, g in enumerate(s.screen_set):
+                    c = pk.constraints[g]
+                    if c is None:
+                        continue
+                    mu_g = np.asarray(mus_np[i][j, : c.duals()])
+                    if np.any(mu_g != 0):
+                        duals[int(g)] = mu_g.astype(c.dtype)
+                if not hasattr(s, "duals"):
+                    s.duals = []
+                s.duals.append(duals)
+                s.n_valid_solutions.append(True)
+                s.active_sizes.append(int(np.asarray(active_h).sum()))
+                s.screen_sizes.append(len(s.screen_set))
+
+        if n_proc:
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = (
+                np.asarray(active_h)[: len(s.screen_set)].copy()
+            )
+            s.resid = resid_f
+            s.grad = grad_f
+            s.rsq = float(rsq_h)
+            s.resid_sum = float(rsums_np[n_proc - 1])
+            s.abs_grad = np.asarray(abs_grad_h)
+            s.lmda = float(lm_pad[n_proc - 1])
+            pk.store_mu(s, mu_f)
+            if record:
+                self._prev_dev = float(prev_dev_h)
+                self._have_prev_dev = bool(have_prev_h)
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        return n_acc, early_stopped
+
+    def solve_path(self, progress_bar=False, exit_cond=None):
+        """Chunked constrained path when every group is screened; falls
+        back to the per-lambda BASIL loop otherwise."""
+        s = self.s
+        if len(s.screen_set) != len(s.groups):
+            from .basil import solve_core
+
+            return solve_core(s, self, progress_bar=progress_bar,
+                              exit_cond=exit_cond)
+
+        from .basil import compute_lmda_max, compute_lmda_path
+
+        self._chunk_step = get_constrained_chunk_step(
+            s.X, s.intercept, len(s.groups)
+        )
+        sw = Stopwatch().start()
+        if exit_cond is not None:
+            s.lmda_chunk = 1
+        exit_cond = exit_cond or (lambda *a: False)
+        pbar = None
+        if progress_bar:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=int(s.lmda_path_size or 0) or None)
+            except Exception:
+                pbar = None
+
+        if s.setup_lmda_max and s.lmda_max is None:
+            lm_large = self.large_lmda()
+            self._run_chunk([lm_large], record=False)
+            # dual-corrected abs_grad (solve_zero for zero groups)
+            constrained_abs_grad(s, self.pack, lm_large)
+            s.lmda_max = compute_lmda_max(s.abs_grad, s.alpha, s.penalty)
+
+        if s.setup_lmda_path and s.lmda_path is None:
+            if s.lmda_path_size <= 0:
+                s.total_time = sw.elapsed()
+                return s
+            s.lmda_path = compute_lmda_path(
+                s.lmda_max, s.min_ratio, s.lmda_path_size
+            )
+        path = np.asarray(s.lmda_path, float)
+
+        large_count = int(np.searchsorted(-path, -s.lmda_max))
+        if large_count or s.setup_lmda_max:
+            seg = list(path[:large_count])
+            Cc = int(s.lmda_chunk)
+            for i in range(0, len(seg), Cc):
+                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                if early or exit_cond(s):
+                    s.total_time = sw.elapsed()
+                    return s
+            self._run_chunk([s.lmda_max], record=False)
+
+        idx = large_count
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            n_acc, early = self._run_chunk(chunk, record=True)
+            idx += n_acc if n_acc else C
+            if pbar is not None and n_acc:
+                pbar.update(n_acc)
+                if len(s.devs):
+                    pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
+            if early or exit_cond(s):
+                break
+
+        if pbar is not None:
+            pbar.close()
+        constrained_abs_grad(s, self.pack, s.lmda)
+        s.total_time = sw.elapsed()
+        return s
 
 
 class ConstrainedGlmDriver:

@@ -196,3 +196,43 @@ def test_grpnet_one_sided_nonneg():
     assert B[-1, 0] > 0.5
     # the negative one must be pinned at 0
     assert np.all(np.abs(B[:, 1]) <= 1e-8)
+
+
+def test_constrained_chunked_matches_per_lambda():
+    """The screen-all chunked constrained path (one device call per lambda
+    chunk) must produce the same solutions and duals as the per-lambda
+    solve_core loop."""
+    from adelie_tpu.solver import constrained as C
+
+    rng = np.random.default_rng(17)
+    n, p = 150, 14
+    X = rng.standard_normal((n, p))
+    y = X[:, :3] @ rng.standard_normal(3) + 0.1 * rng.standard_normal(n)
+
+    mk = lambda: [ad.constraint.lower(np.zeros(1)) for _ in range(p)]
+    st = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(),
+                   lmda_path_size=12, min_ratio=0.05, tol=1e-12,
+                   progress_bar=False, early_exit=False)
+    assert st.error == "", st.error
+    assert len(st.duals) == len(st.lmdas)
+
+    # force the per-lambda loop by hiding solve_path
+    sp = C.ConstrainedGaussianDriver.solve_path
+    del C.ConstrainedGaussianDriver.solve_path
+    try:
+        st2 = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(),
+                        lmda_path=np.asarray(st.lmdas), tol=1e-12,
+                        progress_bar=False, early_exit=False)
+    finally:
+        C.ConstrainedGaussianDriver.solve_path = sp
+    assert st2.error == "", st2.error
+
+    np.testing.assert_allclose(
+        np.asarray(st.betas.todense()), np.asarray(st2.betas.todense()),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(st.intercepts, st2.intercepts, atol=1e-9)
+    for d1, d2 in zip(st.duals, st2.duals):
+        assert set(d1.keys()) == set(d2.keys())
+        for k in d1:
+            np.testing.assert_allclose(d1[k], d2[k], atol=1e-7)
