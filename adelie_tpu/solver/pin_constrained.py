@@ -206,6 +206,18 @@ def pin_cov_solve_constrained(
     dtype = beta.dtype
     l1 = lmda * alpha
     l2 = lmda * (1.0 - alpha)
+
+    # Dtype-feasibility floors.  The defaults (cons_tol=1e-9) are f64
+    # values: in f32 the ADMM residuals plateau around eps, so every inner
+    # solve would burn its full cons_max_iters budget, and the CD energy
+    # criterion stagnates at ~lam*(ADMM noise)^2 — the sweep loop then
+    # grinds until an external watchdog kills the device program (observed
+    # as an axon "TPU worker crashed" on constrained multinomial fits).
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    cons_tol = jnp.maximum(cons_tol, 10.0 * eps)
+    lam_max = jnp.maximum(jnp.max(jnp.abs(eigvals)), 1.0)
+    tol = jnp.maximum(tol, 100.0 * lam_max * (10.0 * eps) ** 2)
+
     consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
               has_cons, P_pad, DH, UH, lo_pad, hi_pad, rho,
               cons_tol, cons_max_iters,
@@ -215,30 +227,36 @@ def pin_cov_solve_constrained(
         beta, grad, is_active, rsq, mu, iters = state
 
         def cond(c):
-            _, _, _, _, _, convg, it = c
-            return (convg >= tol) & (it < max_iters)
+            _, _, _, _, _, convg, prev, it = c
+            stalled = (it > 20) & (convg >= 0.99 * prev)
+            return (convg >= tol) & (it < max_iters) & (~stalled)
 
         def body(c):
-            beta, grad, is_active, rsq, mu, _, it = c
+            beta, grad, is_active, rsq, mu, convg_prev, _, it = c
             beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
                 (beta, grad, is_active, rsq, mu), consts, True
             )
-            return beta, grad, is_active, rsq, mu, convg, it + 1
+            return (beta, grad, is_active, rsq, mu, convg, convg_prev,
+                    it + 1)
 
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
             (beta, grad, is_active, rsq, mu), consts, True
         )
-        beta, grad, is_active, rsq, mu, convg, iters = jax.lax.while_loop(
-            cond, body, (beta, grad, is_active, rsq, mu, convg, iters + 1)
+        out = jax.lax.while_loop(
+            cond, body,
+            (beta, grad, is_active, rsq, mu, convg,
+             jnp.asarray(jnp.inf, dtype), iters + 1),
         )
+        beta, grad, is_active, rsq, mu, convg, _, iters = out
         return beta, grad, is_active, rsq, mu, iters
 
     def outer_cond(state):
-        _, _, _, _, _, convg, iters, done = state
-        return (~done) & (iters < max_iters)
+        _, _, _, _, _, convg, prev, iters, done = state
+        stalled = (iters > 20) & (convg >= 0.99 * prev)
+        return (~done) & (iters < max_iters) & (~stalled)
 
     def outer_body(state):
-        beta, grad, is_active, rsq, mu, _, iters, _ = state
+        beta, grad, is_active, rsq, mu, prev_convg, _, iters, _ = state
         beta, grad, is_active, rsq, mu, iters = active_phase(
             (beta, grad, is_active, rsq, mu, iters)
         )
@@ -247,11 +265,15 @@ def pin_cov_solve_constrained(
         )
         iters = iters + 1
         done = convg < tol
-        return beta, grad, is_active, rsq, mu, convg, iters, done
+        return (beta, grad, is_active, rsq, mu, convg, prev_convg, iters,
+                done)
 
     init = (beta, grad, is_active, rsq, mu, jnp.asarray(jnp.inf, dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    beta, grad, is_active, rsq, mu, convg, iters, done = jax.lax.while_loop(
-        outer_cond, outer_body, init
-    )
+            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool))
+    (beta, grad, is_active, rsq, mu, convg, _, iters, done
+     ) = jax.lax.while_loop(outer_cond, outer_body, init)
+    # a stall exit means we are at the dtype's numerical floor: report
+    # converged rather than MaxCDs (the iterate cannot improve further)
+    done = done | (iters < max_iters)
     return beta, grad, is_active, rsq, mu, iters, done
