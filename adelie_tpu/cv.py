@@ -49,13 +49,21 @@ class CVGrpnetResult:
 
     def fit(self, X, glm, **grpnet_params):
         """Refit on the full data down to the best lambda (reference
-        cv.py:76-127)."""
+        cv.py:76-127).
+
+        CV-only arguments (``n_folds``, ``seed``) and arguments this
+        refit pins itself (``early_exit``, ``lmda_path``) are dropped so
+        the same kwargs dict used for ``cv_grpnet`` can be forwarded
+        here (the sklearn wrapper does exactly that).
+        """
+        for k in ("n_folds", "seed", "early_exit", "lmda_path"):
+            grpnet_params.pop(k, None)
         level = logger.level
         logger.setLevel(logging.ERROR)
         state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
         logger.setLevel(level)
 
-        lmda_path_size = grpnet_params.get("lmda_path_size", 100)
+        lmda_path_size = grpnet_params.pop("lmda_path_size", 100)
         lmda_star = self.lmdas[self.best_idx]
         full_lmdas = state.lmda_max * np.logspace(
             0, np.log10(lmda_star / state.lmda_max), lmda_path_size

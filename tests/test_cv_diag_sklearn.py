@@ -173,3 +173,40 @@ def test_css_model_selection():
     # should find a small subset that reconstructs the rest
     assert len(est.subset_) <= p - 1
     assert np.isfinite(est.score(X))
+
+
+def test_sklearn_cv_multinomial_path():
+    """GroupElasticNet(solver='cv_grpnet') must forward its kwargs to both
+    cv_grpnet and the best-lambda refit (CV-only args are dropped by
+    CVGrpnetResult.fit)."""
+    rng = np.random.default_rng(3)
+    n, p, K = 60, 5, 3
+    X = rng.standard_normal((n, p))
+    eta = X[:, :2] @ rng.standard_normal((2, K))
+    pr = np.exp(eta) / np.exp(eta).sum(1, keepdims=True)
+    Y = np.zeros((n, K))
+    for i in range(n):
+        Y[i, rng.choice(K, p=pr[i])] = 1.0
+
+    est = ad.GroupElasticNet(family="multinomial", solver="cv_grpnet")
+    est.fit(X, Y, n_folds=3, seed=0, lmda_path_size=6, min_ratio=0.2,
+            progress_bar=False)
+    proba = est.predict_proba(X)
+    assert proba.shape == (n, K)
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-6)
+    labels = est.predict(X)
+    assert labels.shape == (n,)
+    score = est.score(X, Y.argmax(1))
+    assert 0.0 <= score <= 1.0
+
+
+def test_sklearn_cv_gaussian_kwargs_forwarding():
+    rng = np.random.default_rng(4)
+    n, p = 80, 8
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] + 0.1 * rng.standard_normal(n)
+    est = ad.GroupElasticNet(family="gaussian", solver="cv_grpnet")
+    est.fit(X, y, n_folds=4, seed=1, lmda_path_size=8, min_ratio=0.05,
+            progress_bar=False)
+    assert est.coef_.shape == (p,) or est.coef_.ndim == 2
+    assert np.isfinite(est.predict(X)).all()
