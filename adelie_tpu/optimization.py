@@ -175,6 +175,10 @@ def symmetric_penalty(knots, alpha):
     Host-side numpy — this is a scalar utility used for tie-breaking.
     """
     knots = np.asarray(knots, np.float64)
+    if knots.ndim != 1:
+        raise ValueError(
+            f"knots must be a 1-D sorted array; got shape {knots.shape}."
+        )
     K = knots.size
     if K <= 0:
         return 0.0

@@ -436,6 +436,12 @@ def gaussian_cov(
         check_constraints_supported(constraints)
 
     if not isinstance(A, matrix_mod.MatrixCovBase):
+        if isinstance(A, matrix_mod.MatrixNaiveBase):
+            raise TypeError(
+                "gaussian_cov expects a covariance matrix; got a naive "
+                f"(n x p) matrix {type(A).__name__}. Construct it with "
+                "method='cov' (e.g. matrix.block_diag(mats, method='cov'))."
+            )
         A = matrix_mod.dense(np.asarray(A), method="cov")
     dtype = np.dtype(A.dtype)
     p = A.cols()

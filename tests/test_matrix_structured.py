@@ -270,3 +270,62 @@ def test_grpnet_wrapper_matrices():
         np.asarray(st7.betas.todense()), np.asarray(st8.betas.todense()),
         atol=1e-8,
     )
+
+
+def test_gaussian_cov_structured_matrices():
+    """gaussian_cov over block-diag and lazy covariance wrappers must match
+    the dense covariance solve (end-to-end; the per-lambda solve_core
+    path for non-dense A)."""
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(21)
+    n, p = 100, 8
+    X = rng.standard_normal((n, p))
+    X[:, 4:] += 0.1  # make blocks non-trivial
+    Xc = X - X.mean(0)
+    y = X[:, 0] - X[:, 5] + 0.1 * rng.standard_normal(n)
+    yc = y - y.mean()
+    v = Xc.T @ yc / n
+
+    S_full = Xc.T @ Xc / n
+    # block-diagonal ground truth: zero the cross blocks
+    S_bd = S_full.copy()
+    S_bd[:4, 4:] = 0.0
+    S_bd[4:, :4] = 0.0
+
+    kw = dict(lmda_path_size=6, min_ratio=0.2, progress_bar=False)
+    st_dense = ad.gaussian_cov(S_bd, v, **kw)
+    assert st_dense.error == "", st_dense.error
+
+    A_bd = mx.block_diag(
+        [mx.dense(S_full[:4, :4], method="cov"),
+         mx.dense(S_full[4:, 4:], method="cov")], method="cov",
+    )
+    st_bd = ad.gaussian_cov(A_bd, v, lmda_path=np.asarray(st_dense.lmdas),
+                            progress_bar=False)
+    assert st_bd.error == "", st_bd.error
+    np.testing.assert_allclose(
+        np.asarray(st_dense.betas.todense()),
+        np.asarray(st_bd.betas.todense()), atol=1e-8,
+    )
+
+    # lazy covariance == dense covariance of the same X
+    st_dense_full = ad.gaussian_cov(S_full, v, **kw)
+    A_lazy = mx.lazy_cov(Xc / np.sqrt(n))
+    st_lazy = ad.gaussian_cov(A_lazy, v,
+                              lmda_path=np.asarray(st_dense_full.lmdas),
+                              progress_bar=False)
+    assert st_lazy.error == "", st_lazy.error
+    np.testing.assert_allclose(
+        np.asarray(st_dense_full.betas.todense()),
+        np.asarray(st_lazy.betas.todense()), atol=1e-8,
+    )
+
+
+def test_gaussian_cov_rejects_naive_matrix():
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(22)
+    S = np.eye(4)
+    with pytest.raises(TypeError, match="method='cov'"):
+        ad.gaussian_cov(mx.block_diag([S]), np.ones(4))
