@@ -136,6 +136,17 @@ class snp_unphased:
         if not lib.snpio_unphased_header(self.filename.encode(), _u64p(n), _u64p(p)):
             raise RuntimeError(f"cannot read {self.filename}")
         n, p = int(n[0]), int(p[0])
+        # plausibility guard: a corrupt/truncated file yields garbage dims
+        # (the format has no magic); cap by what the file could encode
+        import os
+
+        fsize = os.path.getsize(self.filename)
+        # the per-column outer index alone needs 8*p bytes
+        if n <= 0 or p <= 0 or n > (1 << 40) or 8 * p > fsize:
+            raise RuntimeError(
+                f"corrupt or truncated snpdat file {self.filename}: "
+                f"header claims n={n}, p={p} (file is {fsize} bytes)"
+            )
         nb = (n + 3) // 4
         packed = np.zeros((p, nb), np.uint8)  # row j = column j's bytes
         nnz = np.zeros(p, np.uint64)
@@ -343,6 +354,16 @@ class snp_phased_ancestry:
                                        _u64p(s), _u64p(A)):
             raise RuntimeError(f"cannot read {self.filename}")
         n, s, A = int(n[0]), int(s[0]), int(A[0])
+        import os
+
+        fsize = os.path.getsize(self.filename)
+        if (n <= 0 or s <= 0 or A <= 0 or n > (1 << 40)
+                or 8 * s > fsize or A > 64):
+            raise RuntimeError(
+                f"corrupt or truncated snpdat file {self.filename}: "
+                f"header claims n={n}, snps={s}, ancestries={A} "
+                f"(file is {fsize} bytes)"
+            )
         nb = (n + 3) // 4
         packed = np.zeros((s * A, nb), np.uint8)
         nnz0 = np.zeros(s * A, np.uint64)

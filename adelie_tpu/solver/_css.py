@@ -195,6 +195,11 @@ def css_cov(
     if method == "greedy":
         if not isinstance(subset_size, (int, np.integer)):
             raise ValueError("subset_size must be an integer for the greedy method.")
+        if not (0 <= int(subset_size) <= S.shape[0]):
+            raise ValueError(
+                f"subset_size must be in [0, {S.shape[0]}] (p = number of "
+                f"features); got {subset_size}."
+            )
         result = _solve_greedy(S, subset_size, score, max_iters)
     elif method == "swapping":
         if subset is None:

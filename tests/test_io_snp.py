@@ -180,3 +180,25 @@ def test_snp_mul_pallas_parity():
             interpret=True,
         ))
         np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-4)
+
+
+def test_corrupt_file_errors():
+    """Garbage bytes must raise a clean RuntimeError, not an allocation
+    blowup from garbage header dims."""
+    import pytest
+
+    fn = "/tmp/garbage_io.snpdat"
+    with open(fn, "wb") as f:
+        f.write(b"not a real snpdat file at all")
+    with pytest.raises(RuntimeError, match="corrupt|cannot read"):
+        ad.io.snp_unphased(fn).read()
+    with pytest.raises(RuntimeError, match="corrupt|cannot read"):
+        ad.io.snp_phased_ancestry(fn).read()
+
+
+def test_css_subset_size_validation():
+    import pytest
+
+    S = np.eye(4)
+    with pytest.raises(ValueError, match="subset_size"):
+        ad.css_cov(S, 10, method="greedy", loss="least_squares")
