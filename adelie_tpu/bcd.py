@@ -96,16 +96,44 @@ def _root_upper_bound(buf1, v, l1, zero_tol=1e-14):
     return h_max_zero_path, min_nnz
 
 
-def _newton_abs_root(buf1, v, l1, tol, max_iters):
-    """Adaptive-bisection + Newton root find for phi (newton.hpp:213-260).
-
-    Returns (h, iters).  Assumes ||v|| > l1 > 0.  Jittable; scalar h.
-    """
+def _newton_phase(buf1, v, l1, h0, tol, max_iters):
+    """Guarded Newton on phi from initial ``h0`` (newton.hpp
+    newton_solver_base step_f).  phi is convex decreasing on h >= 0, so
+    Newton from the left converges monotonically."""
     dtype = v.dtype
+
+    def step(h):
+        inv = 1.0 / (buf1 * h + l1)
+        sq = (v * inv) ** 2
+        t = jnp.sum(sq)
+        sqrt_t = jnp.sqrt(t)
+        fh = t - 1.0
+        dfh = -jnp.sum(sq * buf1 * inv) * (1 + sqrt_t) / jnp.maximum(t, _tiny(dtype))
+        return fh, dfh
+
+    def newton_cond(carry):
+        h, fh, dfh, it = carry
+        return (jnp.abs(fh) > tol) & (it < max_iters)
+
+    def newton_body(carry):
+        h, fh, dfh, it = carry
+        h = jnp.maximum(h - fh / dfh, 0.0)
+        fh, dfh = step(h)
+        return h, fh, dfh, it + 1
+
+    fh0, dfh0 = step(h0)
+    h, fh, dfh, iters = jax.lax.while_loop(
+        newton_cond, newton_body, (h0, fh0, dfh0, jnp.int32(0))
+    )
+    return h, iters
+
+
+def _newton_abs_init(buf1, v, l1, tol):
+    """Adaptive-bisection initializer (newton.hpp:213-260): walk from h_max
+    toward h_min until phi(h) >= 0 so Newton starts left of the root."""
     h_min = _root_lower_bound(buf1, v, l1)
     h_max, min_nnz = _root_upper_bound(buf1, v, l1)
 
-    # --- adaptive bisection from h_max toward h_min until phi(h) >= 0 ---
     def ada_cond(carry):
         h_cand, fh, it = carry
         return (fh < 0) & (jnp.abs(fh) > tol) & (it < 100)
@@ -129,40 +157,128 @@ def _newton_abs_root(buf1, v, l1, tol, max_iters):
         h, _, _ = jax.lax.while_loop(ada_cond, ada_body, (h1, f1, jnp.int32(1)))
         return h
 
-    h = jax.lax.cond(small_range, init_small, init_ada)
+    return jax.lax.cond(small_range, init_small, init_ada)
 
-    # --- guarded Newton (newton.hpp newton_solver_base step_f) ---
-    def step(h):
-        inv = 1.0 / (buf1 * h + l1)
-        sq = (v * inv) ** 2
-        t = jnp.sum(sq)
-        sqrt_t = jnp.sqrt(t)
-        fh = t - 1.0
-        dfh = -jnp.sum(sq * buf1 * inv) * (1 + sqrt_t) / jnp.maximum(t, _tiny(dtype))
-        return fh, dfh
 
-    def newton_cond(carry):
-        h, fh, dfh, it = carry
-        return (jnp.abs(fh) > tol) & (it < max_iters)
+def _newton_abs_root(buf1, v, l1, tol, max_iters):
+    """Adaptive-bisection + Newton root find for phi (newton.hpp:213-260).
 
-    def newton_body(carry):
-        h, fh, dfh, it = carry
-        h = jnp.maximum(h - fh / dfh, 0.0)
-        fh, dfh = step(h)
-        return h, fh, dfh, it + 1
+    Returns (h, iters).  Assumes ||v|| > l1 > 0.  Jittable; scalar h.
+    """
+    h = _newton_abs_init(buf1, v, l1, tol)
+    return _newton_phase(buf1, v, l1, h, tol, max_iters)
 
-    fh0, dfh0 = step(h)
-    h, fh, dfh, iters = jax.lax.while_loop(
-        newton_cond, newton_body, (h, fh0, dfh0, jnp.int32(0))
+
+def brent_root_scalar(f, a, b, x_tol, y_tol, max_iters):
+    """Jittable Brent's method on a scalar function over bracket [a, b].
+
+    Faithful re-implementation of the reference's
+    ``optimization/bisect.hpp brent`` (:12-103): inverse-quadratic /
+    secant steps with the bisection fallback guards; the loop carries the
+    reference's (a, b, c, d, do_bisect) state and freezes once the
+    x-interval or |f(b)| tolerance is met.  Returns (sol, iters).
+    """
+    dtype = jnp.result_type(a, b)
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    fa = f(a)
+    fb = f(b)
+    swap = jnp.abs(fa) < jnp.abs(fb)
+    a, b = jnp.where(swap, b, a), jnp.where(swap, a, b)
+    fa, fb = jnp.where(swap, fb, fa), jnp.where(swap, fa, fb)
+    c, fc = a, fa
+    d = c
+
+    def cond(carry):
+        a, fa, b, fb, c, fc, d, do_bisect, it, done = carry
+        return (~done) & (it < max_iters)
+
+    def body(carry):
+        a, fa, b, fb, c, fc, d, do_bisect, it, done = carry
+        stop = (jnp.abs(b - a) <= x_tol) | (jnp.abs(fb) <= 2 * y_tol)
+
+        # inverse quadratic interpolation when all three f-values distinct,
+        # else secant (reference :53-61)
+        use_iqi = (jnp.abs(fa - fc) > y_tol) & (jnp.abs(fb - fc) > y_tol)
+        s_iqi = (
+            a * fb * fc / ((fa - fb) * (fa - fc))
+            + b * fa * fc / ((fb - fa) * (fb - fc))
+            + c * fa * fb / ((fc - fa) * (fc - fb))
+        )
+        s_sec = b - fb * (b - a) / (fb - fa)
+        s = jnp.where(use_iqi, s_iqi, s_sec)
+
+        delta = jnp.abs(2 * x_tol * jnp.abs(b))
+        min1 = jnp.abs(s - b)
+        min2 = jnp.abs(b - c)
+        min3 = jnp.abs(c - d)
+        bad = (
+            ((s < 0.25 * (3 * a + b)) & (s > b))
+            | (do_bisect & (min1 >= min2 * 0.5))
+            | ((~do_bisect) & (min1 >= min3 * 0.5))
+            | (do_bisect & (min2 < delta))
+            | ((~do_bisect) & (min3 < delta))
+        )
+        s = jnp.where(bad, 0.5 * (a + b), s)
+        do_bisect_n = bad
+
+        fs = f(s)
+        found = jnp.abs(fs) < y_tol
+
+        d_n = c
+        c_n, fc_n = b, fb
+        opp = fs * fa < 0
+        b_n = jnp.where(opp, s, b)
+        fb_n = jnp.where(opp, fs, fb)
+        a_n = jnp.where(opp, a, s)
+        fa_n = jnp.where(opp, fa, fs)
+        swap = jnp.abs(fa_n) < jnp.abs(fb_n)
+        a_n, b_n = jnp.where(swap, b_n, a_n), jnp.where(swap, a_n, b_n)
+        fa_n, fb_n = jnp.where(swap, fb_n, fa_n), jnp.where(swap, fa_n, fb_n)
+
+        # when found, expose s as the solution via b
+        b_n = jnp.where(found, s, b_n)
+
+        def frozen():
+            return a, fa, b, fb, c, fc, d, do_bisect, it, jnp.asarray(True)
+
+        def stepped():
+            return (a_n, fa_n, b_n, fb_n, c_n, fc_n, d_n, do_bisect_n,
+                    it + 1, found)
+
+        return jax.lax.cond(stop, frozen, stepped)
+
+    init = (a, fa, b, fb, c, fc, d, jnp.asarray(True), jnp.int32(0),
+            jnp.asarray(False))
+    a, fa, b, fb, c, fc, d, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    return b, iters
+
+
+def _brent_root(buf1, v, l1, tol, max_iters):
+    """Brent bracketing root find for phi (reference brent.hpp:11-36):
+    bracket [root_lower_bound, root_upper_bound(zero_tol=0)]."""
+    h_min = _root_lower_bound(buf1, v, l1)
+    h_max, _ = _root_upper_bound(buf1, v, l1, zero_tol=0.0)
+    h_max = jnp.maximum(h_max, h_min)
+    return brent_root_scalar(
+        lambda h: _root_function(h, buf1, v, l1),
+        h_min, h_max, tol, tol, max_iters,
     )
-    return h, iters
 
 
-def newton_solver(L, v, l1, l2, tol=1e-12, max_iters=1000):
+def newton_solver(L, v, l1, l2, tol=1e-12, max_iters=1000, method="newton_abs"):
     """Solve the block update; returns (x, iters).
 
     Jittable.  ``L``/``v`` are (q,) arrays; padded lanes must have
     ``L == 0`` and ``v == 0`` and then get ``x == 0``.
+
+    ``method`` selects the 1-D root strategy (reference
+    bcd/unconstrained/{newton.hpp, brent.hpp}):
+      - ``newton``: vanilla guarded Newton from h=0 (newton.hpp:124)
+      - ``newton_abs``: adaptive bisection init + Newton (newton.hpp:213)
+      - ``newton_brent``: Brent init to tolerance, Newton polish
+        (newton.hpp:155)
+      - ``brent``: pure Brent bracketing (brent.hpp:11)
     """
     L = jnp.asarray(L)
     v = jnp.asarray(v)
@@ -181,7 +297,20 @@ def newton_solver(L, v, l1, l2, tol=1e-12, max_iters=1000):
         return x, jnp.int32(0)
 
     def general_case():
-        h, iters = _newton_abs_root(buf1, v, l1, tol, max_iters)
+        if method == "newton_abs":
+            h, iters = _newton_abs_root(buf1, v, l1, tol, max_iters)
+        elif method == "newton":
+            h, iters = _newton_phase(
+                buf1, v, l1, jnp.zeros((), dtype), tol, max_iters
+            )
+        elif method == "newton_brent":
+            h0, it0 = _brent_root(buf1, v, l1, tol, max_iters)
+            h, it1 = _newton_phase(buf1, v, l1, h0, tol, max_iters)
+            iters = it0 + it1
+        elif method == "brent":
+            h, iters = _brent_root(buf1, v, l1, tol, max_iters)
+        else:
+            raise ValueError(f"Unknown newton method: {method}")
         x = h * v / (buf1 * h + l1)
         return x, iters
 
@@ -235,9 +364,9 @@ def objective(beta, *, quad, linear, l1, l2):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def _solve_jit(quad, linear, l1, l2, tol, max_iters):
-    return newton_solver(quad, linear, l1, l2, tol, max_iters)
+@functools.partial(jax.jit, static_argnames=("max_iters", "method"))
+def _solve_jit(quad, linear, l1, l2, tol, max_iters, method="newton_abs"):
+    return newton_solver(quad, linear, l1, l2, tol, max_iters, method)
 
 
 def root(*, quad, linear, l1, l2=0.0, tol=1e-12, max_iters=1000):
@@ -301,10 +430,11 @@ def solve(
 ):
     """Solve the BCD update (reference bcd.py:182, solver list :40-49).
 
-    Strategies: the Newton family (``newton``, ``newton_abs``,
-    ``newton_brent``, ``brent`` — all guarded 1-D root finds, served by the
-    bracketing+Newton solver) and the proximal-gradient family (``ista``,
-    ``fista``, ``fista_adares``).
+    Strategies: the Newton family (``newton`` vanilla, ``newton_abs``
+    adaptive-bisection+Newton, ``newton_brent`` Brent-init+Newton,
+    ``brent`` pure bracketing — distinct root strategies matching
+    reference newton.hpp:124,213,155 and brent.hpp:11) and the
+    proximal-gradient family (``ista``, ``fista``, ``fista_adares``).
 
     Returns a dict with ``beta``, ``iters``.
     """
@@ -318,7 +448,9 @@ def solve(
             solver != "ista", solver == "fista_adares",
         )
     elif solver in ("newton", "newton_abs", "newton_brent", "brent"):
-        x, iters = _solve_jit(quad, linear, l1, l2, tol, int(max_iters))
+        x, iters = _solve_jit(
+            quad, linear, l1, l2, tol, int(max_iters), solver
+        )
     else:
         raise ValueError(f"Unknown solver: {solver}")
     return {"beta": np.asarray(x), "iters": int(iters)}

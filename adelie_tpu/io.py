@@ -50,6 +50,8 @@ def _get_lib():
         f64p = ctypes.POINTER(ctypes.c_double)
         i8p = ctypes.POINTER(ctypes.c_int8)
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.snpio_set_read_mode.restype = None
+        lib.snpio_set_read_mode.argtypes = [ctypes.c_int]
         lib.snpio_unphased_write.restype = ctypes.c_uint64
         lib.snpio_unphased_write.argtypes = [
             ctypes.c_char_p, i8p, ctypes.c_uint64, ctypes.c_uint64,
@@ -78,6 +80,21 @@ def _get_lib():
         return _LIB
 
 
+_READ_MODES = {"file": 0, "mmap": 1, "auto": 0}
+
+
+def _lib_for(read_mode):
+    """Return the codec lib with the read mode applied (reference
+    io_snp_base.hpp read_mode_type: file | mmap)."""
+    if read_mode not in _READ_MODES:
+        raise ValueError(
+            f"read_mode must be one of {sorted(_READ_MODES)}, got {read_mode!r}"
+        )
+    lib = _get_lib()
+    lib.snpio_set_read_mode(_READ_MODES[read_mode])
+    return lib
+
+
 def _i8p(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
 
@@ -102,6 +119,11 @@ class snp_unphased:
 
     def __init__(self, filename, read_mode: str = "file"):
         self.filename = str(filename)
+        if read_mode not in _READ_MODES:
+            raise ValueError(
+                f"read_mode must be one of {sorted(_READ_MODES)}, "
+                f"got {read_mode!r}"
+            )
         self.read_mode = read_mode
         self._read = False
 
@@ -130,7 +152,7 @@ class snp_unphased:
 
     def read(self):
         """Load the file; populates rows/snps/impute/nnz/nnm/packed."""
-        lib = _get_lib()
+        lib = _lib_for(self.read_mode)
         n = np.zeros(1, np.uint64)
         p = np.zeros(1, np.uint64)
         if not lib.snpio_unphased_header(self.filename.encode(), _u64p(n), _u64p(p)):
@@ -184,7 +206,7 @@ class snp_unphased:
     def to_dense(self, n_threads: int = 1):
         """Dense int8 (n, p) with NA = -9 (reference to_dense)."""
         self._ensure()
-        lib = _get_lib()
+        lib = _lib_for(self.read_mode)
         out = np.zeros((self._snps, self._rows), np.int8)  # col-major via T
         ok = lib.snpio_unphased_read_dense(self.filename.encode(), _i8p(out))
         if not ok:
@@ -318,6 +340,11 @@ class snp_phased_ancestry:
 
     def __init__(self, filename, read_mode: str = "file"):
         self.filename = str(filename)
+        if read_mode not in _READ_MODES:
+            raise ValueError(
+                f"read_mode must be one of {sorted(_READ_MODES)}, "
+                f"got {read_mode!r}"
+            )
         self.read_mode = read_mode
         self._read = False
 
@@ -346,7 +373,7 @@ class snp_phased_ancestry:
         return int(total), {"total": sw.elapsed()}
 
     def read(self):
-        lib = _get_lib()
+        lib = _lib_for(self.read_mode)
         n = np.zeros(1, np.uint64)
         s = np.zeros(1, np.uint64)
         A = np.zeros(1, np.uint64)

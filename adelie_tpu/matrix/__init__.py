@@ -66,6 +66,7 @@ def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
         mesh = mesh or active_mesh()
         if mesh is not None:
             m._mat = shard_rows(m._mat, mesh)
+            m._mesh = mesh
         return m
     if method == "cov":
         return MatrixCovDense(mat, dtype=dtype)
@@ -183,18 +184,24 @@ def interaction(mat, intr_map, levels=None, *, n_threads: int = 1):
     return MatrixNaiveInteractionDense(mat, intr_map, levels)
 
 
-def snp_unphased(io, *, n_threads: int = 1, dtype=None):
-    """Packed SNP unphased matrix (reference matrix.py:1245)."""
+def snp_unphased(io, *, n_threads: int = 1, dtype=None, mesh=None):
+    """Packed SNP unphased matrix (reference matrix.py:1245).
+
+    ``mesh``: a ``jax.sharding.Mesh`` (or None to use the
+    ``adelie_tpu.parallel.use_mesh`` active mesh) — the packed byte
+    (observation) axis shards across it; gradients run as per-device
+    decode-matmuls + an ICI all-reduce (see matrix/_snp.py)."""
     from ._snp import MatrixNaiveSNPUnphased
 
-    return MatrixNaiveSNPUnphased(io, dtype=dtype)
+    return MatrixNaiveSNPUnphased(io, dtype=dtype, mesh=mesh)
 
 
-def snp_phased_ancestry(io, *, n_threads: int = 1, dtype=None):
-    """Phased calldata x local-ancestry matrix (reference matrix.py:1189)."""
+def snp_phased_ancestry(io, *, n_threads: int = 1, dtype=None, mesh=None):
+    """Phased calldata x local-ancestry matrix (reference matrix.py:1189).
+    ``mesh`` as in :func:`snp_unphased`."""
     from ._snp import MatrixNaiveSNPPhasedAncestry
 
-    return MatrixNaiveSNPPhasedAncestry(io, dtype=dtype)
+    return MatrixNaiveSNPPhasedAncestry(io, dtype=dtype, mesh=mesh)
 
 
 def convex_relu(mat, mask, *, gated: bool = False, n_threads: int = 1):

@@ -9,6 +9,16 @@ column's impute value (reference matrix_naive_snp_unphased.ipp decode).
 
 The full ``mul`` streams columns in chunks so the dense decode never
 exceeds a (n, chunk) tile.
+
+**Mesh sharding** (the TPU-native replacement of the reference's
+row-blocked OpenMP kernels over X, matrix/utils.hpp:131-330, on its
+flagship GWAS workload): with ``mesh=`` the packed byte axis — i.e. the
+observation axis, 4 samples/byte — is sharded over the mesh.  The
+gradient ``X^T (w r)`` becomes per-device fused decode-matmuls over the
+local byte shard + an all-reduce riding ICI (explicit ``psum`` under
+``shard_map`` on the Pallas path; GSPMD-inserted on the XLA path).  The
+1M-SNP x 100K-sample north star (~25 GB packed) is out of single-chip
+HBM reach; this sharding is how it spreads over >=2 chips.
 """
 
 import functools
@@ -16,6 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .base import MatrixNaiveBase
 
@@ -47,14 +58,46 @@ class MatrixNaiveSNPUnphased(MatrixNaiveBase):
 
     _CHUNK = 2048
 
-    def __init__(self, io, *, dtype=None):
+    def __init__(self, io, *, dtype=None, mesh=None):
         io._ensure() if hasattr(io, "_ensure") else None
         self.dtype = np.dtype(dtype or np.float64)
         self._io = io
         self._rows = io.rows()
         self._cols = io.snps()
-        self._packed = jnp.asarray(io.packed)          # (p, nb)
-        self._impute = jnp.asarray(io.impute, self.dtype)
+        self._init_packed(np.asarray(io.packed), mesh)  # (p, nb)
+        self._impute = self._rep(jnp.asarray(io.impute, self.dtype))
+
+    def _init_packed(self, packed, mesh):
+        """Place the packed bytes on device, byte(=observation)-axis sharded
+        over ``mesh`` (padding bytes decode to code 0 and are sliced/zeroed
+        out by every op)."""
+        from ..parallel import active_mesh
+
+        mesh = mesh if mesh is not None else active_mesh()
+        self._mesh = mesh
+        if mesh is None:
+            self._packed = jnp.asarray(packed)
+            return
+        D = int(np.prod(mesh.devices.shape))
+        pad = (-packed.shape[1]) % D
+        if pad:
+            packed = np.pad(packed, ((0, 0), (0, pad)))
+        self._packed = jax.device_put(
+            packed, NamedSharding(mesh, P(None, mesh.axis_names[0]))
+        )
+
+    def _rep(self, x):
+        if self._mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self._mesh, P()))
+
+    def structure_key(self):
+        key = (type(self).__name__, self._rows, self._cols,
+               self._packed.shape)
+        if self._mesh is not None:
+            key = key + (tuple(d.id for d in self._mesh.devices.flat),
+                         self._mesh.axis_names)
+        return key
 
     def _decode(self, idx):
         """(n, k) dense block for integer column indices (np array)."""
@@ -86,6 +129,32 @@ class MatrixNaiveSNPUnphased(MatrixNaiveBase):
         )
         if use_pallas:
             from ._snp_pallas import snp_mul_pallas
+
+            if self._mesh is not None:
+                # per-device Pallas partials over the local byte shard +
+                # explicit psum over ICI.  Bytes are contiguously sharded, so
+                # device d's u block [4*d*nb_loc, 4*(d+1)*nb_loc) lines up
+                # with its byte block exactly (4 samples/byte).
+                mesh = self._mesh
+                axis = mesh.axis_names[0]
+                nb_pad = self._packed.shape[1]
+                n_full = 4 * nb_pad
+
+                def local(pk, ul, im):
+                    return jax.lax.psum(snp_mul_pallas(pk, ul, im), axis)
+
+                sharded_mul = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(None, axis), P(axis), P()),
+                    out_specs=P(), check_vma=False,
+                )
+
+                def f(data, v, w):
+                    u = (v * w).astype(dtype)
+                    u_pad = jnp.zeros((n_full,), dtype).at[:n].set(u)
+                    return sharded_mul(data["packed"], u_pad, data["impute"])
+
+                return f, {"packed": self._packed, "impute": self._impute}
 
             def f(data, v, w):
                 u = (v * w).astype(dtype)
@@ -144,14 +213,14 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
     decode skips imputation.
     """
 
-    def __init__(self, io, *, dtype=None):
+    def __init__(self, io, *, dtype=None, mesh=None):
         io._ensure() if hasattr(io, "_ensure") else None
         self.dtype = np.dtype(dtype or np.float64)
         self._io = io
         self._rows = io.rows()
         self._cols = io.cols()
-        self._packed = jnp.asarray(io.packed)
-        self._impute = jnp.zeros((self._cols,), self.dtype)
+        self._init_packed(np.asarray(io.packed), mesh)
+        self._impute = self._rep(jnp.zeros((self._cols,), self.dtype))
 
     def _decode(self, idx):
         idx = jnp.asarray(np.asarray(idx, np.int32))
@@ -171,6 +240,28 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
             and jnp.dtype(dtype) == jnp.float32
         ):
             from ._snp_pallas import snp_mul_pallas
+
+            if self._mesh is not None:
+                mesh = self._mesh
+                axis = mesh.axis_names[0]
+                nb_pad = self._packed.shape[1]
+                n_full = 4 * nb_pad
+
+                def local(pk, ul, im):
+                    return jax.lax.psum(snp_mul_pallas(pk, ul, im), axis)
+
+                sharded_mul = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(None, axis), P(axis), P()),
+                    out_specs=P(), check_vma=False,
+                )
+
+                def f(data, v, w):
+                    u = (v * w).astype(dtype)
+                    u_pad = jnp.zeros((n_full,), dtype).at[:n].set(u)
+                    return sharded_mul(data["packed"], u_pad, data["impute"])
+
+                return f, {"packed": self._packed, "impute": self._impute}
 
             def f(data, v, w):
                 u = (v * w).astype(dtype)

@@ -47,6 +47,7 @@ class MatrixNaiveBase:
     _rows: int
     _cols: int
     dtype: np.dtype
+    _mesh = None  # jax.sharding.Mesh when the observation axis is sharded
 
     @property
     def shape(self):

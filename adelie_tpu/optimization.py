@@ -39,7 +39,67 @@ __all__ = [
     "linqp_full",
     "search_pivot",
     "symmetric_penalty",
+    "brent",
+    "bisect",
 ]
+
+
+def brent(f, a, b, *, x_tol=1e-12, y_tol=1e-12, max_iters=1000):
+    """Brent's-method scalar root find on ``[a, b]``.
+
+    Host-side mirror of the reference's ``optimization/bisect.hpp brent``
+    (:12-103) — inverse-quadratic/secant steps with bisection-fallback
+    guards — for arbitrary Python scalar functions.  (The jittable variant
+    used inside solvers is ``adelie_tpu.bcd.brent_root_scalar``.)
+    Returns (sol, iters).
+    """
+    a, b = float(a), float(b)
+    fa, fb = float(f(a)), float(f(b))
+    if abs(fa) < abs(fb):
+        a, b, fa, fb = b, a, fb, fa
+    c, fc = a, fa
+    d = c
+    do_bisect = True
+    for it in range(int(max_iters)):
+        if abs(b - a) <= x_tol or abs(fb) <= 2 * y_tol:
+            return b, it
+        if abs(fa - fc) > y_tol and abs(fb - fc) > y_tol:
+            s = (
+                a * fb * fc / ((fa - fb) * (fa - fc))
+                + b * fa * fc / ((fb - fa) * (fb - fc))
+                + c * fa * fb / ((fc - fa) * (fc - fb))
+            )
+        else:
+            s = b - fb * (b - a) / (fb - fa)
+        delta = abs(2 * x_tol * abs(b))
+        min1, min2, min3 = abs(s - b), abs(b - c), abs(c - d)
+        if (
+            (s < 0.25 * (3 * a + b) and s > b)
+            or (do_bisect and min1 >= min2 * 0.5)
+            or (not do_bisect and min1 >= min3 * 0.5)
+            or (do_bisect and min2 < delta)
+            or (not do_bisect and min3 < delta)
+        ):
+            s = 0.5 * (a + b)
+            do_bisect = True
+        else:
+            do_bisect = False
+        fs = float(f(s))
+        if abs(fs) < y_tol:
+            return s, it + 1
+        d = c
+        c, fc = b, fb
+        if fs * fa < 0:
+            b, fb = s, fs
+        else:
+            a, fa = s, fs
+        if abs(fa) < abs(fb):
+            a, b, fa, fb = b, a, fb, fa
+    return b, int(max_iters)
+
+
+# the reference names the file bisect.hpp; keep both spellings callable
+bisect = brent
 
 
 def _cd_full(quad, x, grad, update_rule, max_iters, tol, scale):

@@ -52,9 +52,17 @@ def active_mesh():
 
 
 def shard_rows(x, mesh=None):
-    """Shard the leading (observation) axis of ``x`` over the mesh."""
+    """Shard the leading (observation) axis of ``x`` over the mesh.
+
+    If the leading dim does not divide the mesh size (explicit device_put
+    requires divisibility), the array is left as-is — inside jit, GSPMD
+    still partitions it to match the sharded operands it meets.
+    """
     mesh = mesh or _active_mesh
     if mesh is None:
+        return x
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if x.shape[0] % n_dev != 0:
         return x
     spec = P(mesh.axis_names[0], *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))

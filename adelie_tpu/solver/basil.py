@@ -65,12 +65,20 @@ def compute_lmda_path(lmda_max, min_ratio, size):
 
 
 def screen(state, lmda_next, all_kkt_passed, n_new_active,
-           lmda_prev=None, lmda_fallback=None):
+           lmda_prev=None, lmda_fallback=None, chunk_size=1):
     """Grow the screen set (reference solver_base.hpp:274-403).
 
     ``lmda_prev``/``lmda_fallback`` support chunked (batched-lambda)
     screening: the strong rule extrapolates from the previous chunk lambda,
     and the KKT safe-fallback thresholds at the actually-failing lambda.
+
+    ``chunk_size``: number of lambdas the screen set must cover before the
+    next KKT verdict (TPU lambda-chunking; reference is per-lambda, i.e. 1).
+    The pivot rule is calibrated to one lambda step — its slack allowance
+    extrapolates by the chunk length, and on a KKT retry the strong-rule set
+    at the chunk end is unioned in: on a tunneled TPU a somewhat larger
+    screen set is far cheaper than re-dispatching the chunk (retries cost a
+    full fused device program; Gram/eigh grow only O(S^2)).
     """
     abs_grad = state.abs_grad
     lmda = state.lmda if lmda_prev is None else lmda_prev
@@ -89,6 +97,8 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
             if int(i) not in screen_hash:
                 new.append(int(i))
     elif state.screen_rule == "pivot":
+        if chunk_size > 1:
+            n_new_active = max(1, n_new_active) * chunk_size
         if n_new_active:
             with np.errstate(divide="ignore", invalid="ignore"):
                 weights = np.where(
@@ -118,11 +128,21 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
                     continue
                 new.append(i)
                 count += 1
-        if len(new) == 0 and not all_kkt_passed:
-            # safe fallback: add all KKT violators (reference :366-373)
-            for i in np.nonzero(abs_grad > lmda_fallback * penalty * alpha)[0]:
-                if int(i) not in screen_hash:
-                    new.append(int(i))
+        if not all_kkt_passed:
+            if chunk_size > 1:
+                # chunk retry: union in the strong-rule set at the geometric
+                # midpoint of the failing chunk — covers several more lambdas
+                # per retry without the full chunk-end strong set's size
+                lmda_mid = np.sqrt(lmda_fallback * max(lmda_next, 1e-300))
+                thresh = (2 * lmda_mid - min(lmda, 1e300)) * alpha * penalty
+                for i in np.nonzero(abs_grad > thresh)[0]:
+                    if int(i) not in screen_hash and int(i) not in new:
+                        new.append(int(i))
+            if len(new) == 0:
+                # safe fallback: add all KKT violators (reference :366-373)
+                for i in np.nonzero(abs_grad > lmda_fallback * penalty * alpha)[0]:
+                    if int(i) not in screen_hash:
+                        new.append(int(i))
     else:
         raise SolverError(f"Unknown screen rule: {state.screen_rule}")
 

@@ -312,7 +312,8 @@ class GaussianNaiveDriver:
             lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
             sw_p = Stopwatch().start()
             screen(s, chunk[-1], kkt_passed, n_new_active,
-                   lmda_prev=lmda_prev, lmda_fallback=chunk[0])
+                   lmda_prev=lmda_prev, lmda_fallback=chunk[0],
+                   chunk_size=C)
             s.benchmark["screen"].append(sw_p.elapsed())
 
             n_acc, early = self._run_chunk(chunk, record=True)

@@ -126,6 +126,11 @@ class ScreenCache:
         Xs = jnp.zeros((state.n, S_cap), dtype)
         if S_val:
             Xs = Xs.at[:, :S_val].set(jnp.asarray(Xs_raw, dtype))
+        mesh = getattr(state.X, "_mesh", None)
+        if mesh is not None:
+            from ..parallel import shard_rows
+
+            Xs = shard_rows(Xs, mesh)
 
         cols_padded = np.full(S_cap, -1, np.int32)
         cols_padded[:S_val] = cols

@@ -20,6 +20,11 @@
 #include <string>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 using outer_t = uint64_t;
 using inner_t = uint32_t;
 using chunk_inner_t = uint8_t;
@@ -99,7 +104,7 @@ bool write_file(const char* filename, const Buf& buf, uint64_t* total_bytes) {
     return written == buf.idx;
 }
 
-std::vector<char> read_file(const char* filename) {
+std::vector<char> read_file_buffered(const char* filename) {
     FILE* fp = std::fopen(filename, "rb");
     if (!fp) return {};
     std::fseek(fp, 0, SEEK_END);
@@ -112,9 +117,67 @@ std::vector<char> read_file(const char* filename) {
     return out;
 }
 
+// read mode: 0 = buffered file IO, 1 = mmap (reference
+// io_snp_base.hpp:25-87 read_mode_type {_file, _mmap})
+std::atomic<int> g_read_mode{0};
+
+// A read-only view of a file: either an owned buffer (file mode) or an
+// mmap'ed region unmapped on destruction (mmap mode).
+struct FileView {
+    const char* ptr = nullptr;
+    size_t len = 0;
+    std::vector<char> owned;
+    void* map = nullptr;
+    size_t map_size = 0;
+
+    FileView() = default;
+    FileView(const FileView&) = delete;
+    FileView& operator=(const FileView&) = delete;
+    FileView(FileView&& o) noexcept { *this = std::move(o); }
+    FileView& operator=(FileView&& o) noexcept {
+        owned = std::move(o.owned);
+        ptr = o.ptr; len = o.len; map = o.map; map_size = o.map_size;
+        o.map = nullptr; o.ptr = nullptr;
+        return *this;
+    }
+    ~FileView() {
+        if (map) munmap(map, map_size);
+    }
+    bool empty() const { return ptr == nullptr || len == 0; }
+    size_t size() const { return len; }
+    const char* data() const { return ptr; }
+};
+
+FileView read_file(const char* filename) {
+    FileView v;
+    if (g_read_mode.load(std::memory_order_relaxed) == 1) {
+        int fd = open(filename, O_RDONLY);
+        if (fd < 0) return v;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || st.st_size <= 0) { close(fd); return v; }
+        void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+        close(fd);
+        if (m == MAP_FAILED) return v;
+        v.map = m;
+        v.map_size = static_cast<size_t>(st.st_size);
+        v.ptr = static_cast<const char*>(m);
+        v.len = v.map_size;
+        return v;
+    }
+    v.owned = read_file_buffered(filename);
+    v.ptr = v.owned.data();
+    v.len = v.owned.size();
+    return v;
+}
+
 }  // namespace
 
 extern "C" {
+
+// 0 = buffered file IO, 1 = mmap (reference read_mode, io_snp_base.hpp)
+void snpio_set_read_mode(int mode) {
+    g_read_mode.store(mode ? 1 : 0, std::memory_order_relaxed);
+}
 
 // ---------------------------------------------------------------------- //
 // unphased                                                                //

@@ -76,3 +76,39 @@ def test_objective_dominance_vs_grid(seed):
         cand = out["beta"] + 0.1 * rng.standard_normal(5)
         obj_c = bcd.objective(cand, quad=quad, linear=linear, l1=l1, l2=l2)
         assert obj_star <= obj_c + 1e-10
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_solver_variants_agree(seed):
+    """newton / newton_abs / newton_brent / brent are DISTINCT root
+    strategies (reference newton.hpp:124,213,155; brent.hpp:11) that must
+    agree on the solution and satisfy the root-function identity."""
+    rng = np.random.default_rng(seed)
+    q = int(rng.integers(1, 10))
+    quad = np.abs(rng.standard_normal(q)) * rng.choice([0, 1, 1, 1], q)
+    linear = rng.standard_normal(q)
+    l1 = abs(rng.standard_normal()) * 0.5
+    l2 = abs(rng.standard_normal()) * 0.1
+    sols = {}
+    for m in ["newton", "newton_abs", "newton_brent", "brent"]:
+        out = bcd.solve(quad=quad, linear=linear, l1=l1, l2=l2,
+                        tol=1e-14, max_iters=10000, solver=m)
+        sols[m] = out["beta"]
+        h = np.linalg.norm(out["beta"])
+        if h > 0:
+            phi = bcd.root_function(h, quad=quad + l2, linear=linear, l1=l1)
+            assert abs(phi) < 1e-6, (m, phi)
+    ref = sols["newton_abs"]
+    for m, x in sols.items():
+        np.testing.assert_allclose(x, ref, atol=1e-7, err_msg=m)
+
+
+def test_optimization_brent_scalar():
+    """optimization.brent/bisect mirrors reference bisect.hpp:12-103."""
+    from adelie_tpu import optimization as opt
+
+    sol, iters = opt.brent(lambda x: x**3 - 2.0, 0.0, 2.0)
+    assert abs(sol - 2.0 ** (1.0 / 3.0)) < 1e-9
+    assert iters < 100
+    sol2, _ = opt.bisect(lambda x: np.cos(x) - x, 0.0, 1.0)
+    assert abs(np.cos(sol2) - sol2) < 1e-9

@@ -202,3 +202,31 @@ def test_css_subset_size_validation():
     S = np.eye(4)
     with pytest.raises(ValueError, match="subset_size"):
         ad.css_cov(S, 10, method="greedy", loss="least_squares")
+
+
+def test_read_mode_mmap_roundtrip(tmp_path):
+    """read_mode="mmap" decodes identically to buffered file IO (reference
+    io_snp_base.hpp:25-87 read_mode_type)."""
+    import adelie_tpu as ad
+    from adelie_tpu import matrix as mx
+
+    data = ad.data.snp_unphased(120, 25, seed=13)
+    f = str(tmp_path / "mm.snpdat")
+    ad.io.snp_unphased(f).write(data["X"])
+
+    io_file = ad.io.snp_unphased(f, read_mode="file").read()
+    io_mmap = ad.io.snp_unphased(f, read_mode="mmap").read()
+    np.testing.assert_array_equal(io_file.packed, io_mmap.packed)
+    np.testing.assert_array_equal(io_file.impute, io_mmap.impute)
+    np.testing.assert_array_equal(io_file.to_dense(), io_mmap.to_dense())
+
+    # phased too
+    pd = ad.data.snp_phased_ancestry(80, 10, 3, seed=13)
+    fp = str(tmp_path / "mm_phased.snpdat")
+    ad.io.snp_phased_ancestry(fp).write(pd["X"], pd["ancestries"], 3)
+    p1 = ad.io.snp_phased_ancestry(fp, read_mode="file").read()
+    p2 = ad.io.snp_phased_ancestry(fp, read_mode="mmap").read()
+    np.testing.assert_array_equal(p1.packed, p2.packed)
+
+    with pytest.raises(ValueError):
+        ad.io.snp_unphased(f, read_mode="bogus")
