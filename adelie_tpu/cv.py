@@ -1,11 +1,25 @@
-"""K-fold cross-validation (reference adelie/cv.py).
+"""K-fold cross-validation.
 
-Folds are validated **by zero-weighting** (cv.py:247-252): the training fit
-runs with validation weights set to 0 and renormalized; the validation loss
-is recovered as (full-data loss - train-weight-sum * train loss) /
-validation-weight-sum (cv.py:305-314).  A common lambda path from the
-full-data lambda_max is used across folds, with per-fold augmentation
-(cv.py:254-264) and path interpolation onto the common grid.
+Reference semantics (adelie/cv.py): folds are validated **by
+zero-weighting** — the training fit runs with validation weights set to 0
+and renormalized, and the validation loss is recovered as
+``(full-data loss - train-weight-sum * train loss) / val-weight-sum``.
+
+TPU-first redesign (this file is NOT a port of reference cv.py):
+
+* Every fold is fitted EXACTLY on the common full-data lambda grid, so the
+  reference's per-fold path augmentation + interpolation machinery
+  (reference cv.py:254-292) is unnecessary: solutions at the grid are
+  exact, not interpolated.  (Lambdas above a fold's own lambda_max simply
+  yield that fold's null model, which is the exact solution there.)
+* On the gaussian fast path, all K folds are fitted SIMULTANEOUSLY by the
+  fold-batched driver (solver/cv_batched.py): one fused device call per
+  lambda chunk advances every fold (vmap over the fold axis, union screen
+  set), and validation losses are computed on device — fold parallelism
+  instead of the reference's serial fold loop (reference cv.py:239), as
+  SURVEY §2.12 prescribes.
+* GLM / constrained / multi-response problems fall back to a serial fold
+  loop that still uses exact common-grid fits.
 """
 
 import logging
@@ -13,7 +27,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import jax.numpy as jnp
-import scipy.sparse
 
 from . import matrix as matrix_mod
 from .diagnostic import coefficient, predict
@@ -26,7 +39,7 @@ class CVGrpnetResult:
     """Result of K-fold CV (reference cv.py:25)."""
 
     lmdas: np.ndarray
-    losses: np.ndarray
+    losses: np.ndarray        # (K, L)
     avg_losses: np.ndarray
     best_idx: int
 
@@ -51,17 +64,15 @@ class CVGrpnetResult:
         """Refit on the full data down to the best lambda (reference
         cv.py:76-127).
 
-        CV-only arguments (``n_folds``, ``seed``) and arguments this
-        refit pins itself (``early_exit``, ``lmda_path``) are dropped so
-        the same kwargs dict used for ``cv_grpnet`` can be forwarded
-        here (the sklearn wrapper does exactly that).
+        CV-only arguments (``n_folds``, ``seed``, ``fold_batch``) and
+        arguments this refit pins itself (``early_exit``, ``lmda_path``)
+        are dropped so the same kwargs dict used for ``cv_grpnet`` can be
+        forwarded here (the sklearn wrapper does exactly that).
         """
-        for k in ("n_folds", "seed", "early_exit", "lmda_path"):
+        for k in ("n_folds", "seed", "early_exit", "lmda_path", "fold_batch"):
             grpnet_params.pop(k, None)
-        level = logger.level
-        logger.setLevel(logging.ERROR)
-        state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
-        logger.setLevel(level)
+        with _quiet_logger():
+            state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
 
         lmda_path_size = grpnet_params.pop("lmda_path_size", 100)
         lmda_star = self.lmdas[self.best_idx]
@@ -74,6 +85,48 @@ class CVGrpnetResult:
         )
 
 
+class _quiet_logger:
+    def __enter__(self):
+        self._level = logger.level
+        logger.setLevel(logging.ERROR)
+        return self
+
+    def __exit__(self, *exc):
+        logger.setLevel(self._level)
+        return False
+
+
+def _rows(X):
+    if isinstance(X, matrix_mod.MatrixNaiveBase):
+        return X.rows()
+    return np.asarray(X).shape[0]
+
+
+def _fold_assignments(n, n_folds, seed):
+    """Shuffle observations into K nearly-equal folds; returns a list of
+    validation-index arrays."""
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    order = rng.choice(n, n, replace=False)
+    bounds = np.linspace(0, n, n_folds + 1).astype(int)
+    return [order[bounds[k]:bounds[k + 1]] for k in range(n_folds)]
+
+
+def _common_path(X, glm, min_ratio, lmda_path_size):
+    """Full-data lambda_max -> log-spaced common grid."""
+    state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
+    return state.lmda_max * np.logspace(0, np.log10(min_ratio), lmda_path_size)
+
+
+def _can_batch(X, glm, grpnet_params):
+    if glm.name != "gaussian" or not getattr(glm, "opt", False):
+        return False
+    if getattr(glm, "is_multi", False):
+        return False
+    if grpnet_params.get("constraints") is not None:
+        return False
+    return True
+
+
 def cv_grpnet(
     X,
     glm,
@@ -84,107 +137,170 @@ def cv_grpnet(
     lmda_path_size: int = 100,
     n_folds: int = 5,
     seed: int = None,
+    fold_batch: bool = None,
     **grpnet_params,
 ):
-    """K-fold CV group elastic net (reference cv.py:130)."""
+    """K-fold CV group elastic net (reference cv.py:130).
+
+    ``fold_batch``: run all folds in one fold-batched device program
+    (gaussian fast path only).  Default: auto (batched when eligible).
+    """
     n = _rows(X)
-    # progress bars are meaningless across folds; ddev_tol is internally
-    # forced to 0 (reference cv.py docstring)
     grpnet_params = dict(grpnet_params)
     grpnet_params.pop("progress_bar", None)
     grpnet_params.pop("ddev_tol", None)
 
-    rng = np.random.RandomState(seed) if seed is not None else np.random
-    order = rng.choice(n, n, replace=False)
+    val_sets = _fold_assignments(n, n_folds, seed)
+    base_weights = np.asarray(glm.weights)
 
-    fold_size = n // n_folds
-    remaining = n % n_folds
+    with _quiet_logger():
+        full_lmdas = _common_path(X, glm, min_ratio, lmda_path_size)
 
-    level = logger.level
-    logger.setLevel(logging.ERROR)
-    try:
-        state = grpnet(
-            X=X, glm=glm, n_threads=n_threads, lmda_path_size=0,
-            progress_bar=False,
-        )
-        full_lmdas = state.lmda_max * np.logspace(
-            0, np.log10(min_ratio), lmda_path_size
-        )
-
-        base_weights = np.asarray(glm.weights)
-        cv_losses = np.empty((n_folds, full_lmdas.shape[0]))
-
-        for fold in range(n_folds):
-            begin = (
-                (fold_size + 1) * min(fold, remaining)
-                + max(fold - remaining, 0) * fold_size
+        use_batch = _can_batch(X, glm, grpnet_params) if fold_batch is None \
+            else bool(fold_batch)
+        if use_batch and not _can_batch(X, glm, grpnet_params):
+            raise ValueError(
+                "fold_batch=True requires the gaussian fast path without "
+                "constraints or multi-response."
             )
-            curr_fold_size = fold_size + (fold < remaining)
-            val_idx = order[begin:begin + curr_fold_size]
-
-            weights = base_weights.copy()
-            weights[val_idx] = 0
-            weights_sum = float(np.sum(weights))
-            weights = weights / weights_sum
-            glm_c = glm.reweight(weights)
-
-            st0 = grpnet(
-                X=X, glm=glm_c, n_threads=n_threads, lmda_path_size=0,
-                progress_bar=False,
+        if use_batch:
+            cv_losses = _cv_batched(
+                X, glm, base_weights, val_sets, full_lmdas,
+                grpnet_params,
             )
-            curr_lmdas = st0.lmda_max * np.logspace(
-                0, np.log10(min_ratio), lmda_path_size
+        else:
+            cv_losses = _cv_serial(
+                X, glm, base_weights, val_sets, full_lmdas,
+                early_exit, n_threads, grpnet_params,
             )
-            curr_lmdas = curr_lmdas[curr_lmdas > full_lmdas[0]]
-            aug_lmdas = np.sort(np.concatenate([full_lmdas, curr_lmdas]))[::-1]
-
-            state = grpnet(
-                X=X, glm=glm_c, ddev_tol=0, n_threads=n_threads,
-                early_exit=early_exit, lmda_path=aug_lmdas,
-                progress_bar=False, **grpnet_params,
-            )
-
-            weights_sum_val = float(np.sum(base_weights[val_idx]))
-
-            beta_ints = [
-                coefficient(
-                    lmda=lmda, betas=state.betas,
-                    intercepts=state.intercepts, lmdas=state.lmdas,
-                )
-                for lmda in full_lmdas
-            ]
-            full_betas = scipy.sparse.vstack([x[0] for x in beta_ints])
-            full_intercepts = np.array([x[1] for x in beta_ints])
-
-            etas = predict(
-                X=X, betas=full_betas, intercepts=full_intercepts,
-                offsets=getattr(state, "offsets", None)
-                if np.any(np.asarray(getattr(state, "offsets", 0))) else None,
-            )
-
-            full_data_losses = np.array(
-                [float(glm.loss(jnp.asarray(e))) for e in etas]
-            )
-            train_losses = weights_sum * np.array(
-                [float(glm_c.loss(jnp.asarray(e))) for e in etas]
-            )
-            cv_losses[fold] = (
-                (full_data_losses - train_losses) / weights_sum_val
-                if weights_sum_val > 0 else 0
-            )
-    finally:
-        logger.setLevel(level)
 
     avg_losses = np.mean(cv_losses, axis=0)
     best_idx = int(np.argmin(avg_losses))
-
     return CVGrpnetResult(
         lmdas=full_lmdas, losses=cv_losses, avg_losses=avg_losses,
         best_idx=best_idx,
     )
 
 
-def _rows(X):
-    if isinstance(X, matrix_mod.MatrixNaiveBase):
-        return X.rows()
-    return np.asarray(X).shape[0]
+def _fold_weights(base_weights, val_idx):
+    """Zero-weighted, renormalized training weights for one fold."""
+    w = base_weights.copy()
+    w[val_idx] = 0
+    w_sum = float(w.sum())
+    return w / w_sum, w_sum, float(base_weights[val_idx].sum())
+
+
+def _cv_batched(X, glm, base_weights, val_sets, full_lmdas, grpnet_params):
+    """All folds in one fold-batched device program (gaussian only)."""
+    from .solver import _as_matrix
+    from .solver.cv_batched import BatchedCVGaussianDriver
+    from .solver.state_core import NaiveStateBase
+
+    X = _as_matrix(X)
+    dtype = np.dtype(X.dtype)
+    n, p = X.rows(), X.cols()
+    K = len(val_sets)
+
+    w_folds = np.empty((K, n))
+    w_train_sums = np.empty(K)
+    w_val_sums = np.empty(K)
+    for k, vidx in enumerate(val_sets):
+        w_folds[k], w_train_sums[k], w_val_sums[k] = _fold_weights(
+            base_weights, vidx
+        )
+
+    groups = grpnet_params.get("groups")
+    if groups is None:
+        groups = np.arange(p, dtype=int)
+    groups = np.asarray(groups, int)
+    group_sizes = np.diff(np.concatenate([groups, [p]])).astype(int)
+    G = len(groups)
+    penalty = grpnet_params.get("penalty")
+    if penalty is None:
+        penalty = np.sqrt(group_sizes).astype(float)
+    alpha = float(grpnet_params.get("alpha", 1.0))
+    intercept = bool(grpnet_params.get("intercept", True))
+
+    state = NaiveStateBase(
+        X=X, groups=groups, group_sizes=group_sizes, alpha=alpha,
+        penalty=np.asarray(penalty, float), intercept=intercept,
+        dtype=dtype, n=n, p=p,
+        tol=float(grpnet_params.get("tol", 1e-7)),
+        max_iters=int(grpnet_params.get("max_iters", int(1e5))),
+        newton_tol=float(grpnet_params.get("newton_tol", 1e-12)),
+        newton_max_iters=int(grpnet_params.get("newton_max_iters", 1000)),
+        screen_rule=grpnet_params.get("screen_rule", "pivot"),
+        pivot_subset_ratio=float(grpnet_params.get("pivot_subset_ratio", 0.1)),
+        pivot_subset_min=int(grpnet_params.get("pivot_subset_min", 1)),
+        pivot_slack_ratio=float(grpnet_params.get("pivot_slack_ratio", 1.25)),
+        max_screen_size=grpnet_params.get("max_screen_size"),
+        max_active_size=grpnet_params.get("max_active_size"),
+        screen_set=np.zeros(0, int), screen_begins=np.zeros(0, int),
+        screen_beta=np.zeros(0, dtype), screen_is_active=np.zeros(0, bool),
+    )
+    # seed like the single-fit path: screen-all fast path for small
+    # problems (zero BASIL retries, stable compile shapes), else the
+    # unpenalized groups
+    from .configs import configs as _cfg
+
+    if p + int(group_sizes.max()) <= _cfg.screen_all_max:
+        seed_groups = np.arange(G)
+    else:
+        seed_groups = np.arange(G)[(state.penalty <= 0) | (alpha <= 0)]
+    state.extend_screen_set(seed_groups)
+    state.screen_is_active = (state.penalty[state.screen_set] <= 0) | (alpha <= 0)
+
+    offsets = grpnet_params.get("offsets")
+    offsets = np.zeros(n, dtype) if offsets is None else np.asarray(offsets)
+
+    driver = BatchedCVGaussianDriver(
+        X, np.asarray(glm.y), offsets, base_weights, w_folds,
+        w_train_sums, w_val_sums, state,
+    )
+    return driver.solve(full_lmdas)  # (K, L)
+
+
+def _cv_serial(X, glm, base_weights, val_sets, full_lmdas, early_exit,
+               n_threads, grpnet_params):
+    """Serial fold loop with exact common-grid fits (GLM-general path)."""
+    import scipy.sparse
+
+    K = len(val_sets)
+    cv_losses = np.empty((K, full_lmdas.shape[0]))
+    for k, vidx in enumerate(val_sets):
+        w_norm, w_train_sum, w_val_sum = _fold_weights(base_weights, vidx)
+        glm_k = glm.reweight(w_norm)
+        state = grpnet(
+            X=X, glm=glm_k, ddev_tol=0, n_threads=n_threads,
+            early_exit=early_exit, lmda_path=full_lmdas,
+            progress_bar=False, **grpnet_params,
+        )
+        # exact fits at the grid; interpolate only the (early-exited) tail
+        fitted = {round(float(l), 14): i for i, l in enumerate(state.lmdas)}
+        betas, intercepts = [], []
+        for lmda in full_lmdas:
+            i = fitted.get(round(float(lmda), 14))
+            if i is not None:
+                betas.append(state.betas[i])
+                intercepts.append(state.intercepts[i])
+            else:
+                b, b0 = coefficient(
+                    lmda=lmda, betas=state.betas,
+                    intercepts=state.intercepts, lmdas=state.lmdas,
+                )
+                betas.append(b)
+                intercepts.append(b0)
+        betas = scipy.sparse.vstack(betas)
+        intercepts = np.asarray(intercepts)
+
+        offs = getattr(state, "offsets", None)
+        offs = offs if offs is not None and np.any(np.asarray(offs)) else None
+        etas = predict(X=X, betas=betas, intercepts=intercepts, offsets=offs)
+        loss_full = np.array([float(glm.loss(jnp.asarray(e))) for e in etas])
+        loss_train = w_train_sum * np.array(
+            [float(glm_k.loss(jnp.asarray(e))) for e in etas]
+        )
+        cv_losses[k] = (
+            (loss_full - loss_train) / w_val_sum if w_val_sum > 0 else 0.0
+        )
+    return cv_losses

@@ -1,0 +1,352 @@
+"""Mesh/batch-parallel K-fold CV for the gaussian fast path.
+
+The reference runs CV folds strictly serially (reference cv.py:239); SURVEY
+§2.12 names fold batching as the net-new TPU parallelism axis.  Design:
+
+* All K folds share the SAME design matrix and a UNION screen set, so the
+  gathered screen block ``Xs`` is built once.  Fold-specific state — the
+  zero-weighted fold weights, centered residuals, per-group Grams and
+  eigendecompositions, screen betas — carries a leading fold axis and is
+  ``vmap``-ed through the same covariance-form pin solve used by the
+  single-fit path (pin.py).  One fused device call advances ALL folds
+  through a chunk of lambdas.
+* Validation losses are computed ON DEVICE per (fold, lambda) directly
+  from the residual invariant (eta = y - resid + resid_sum), so the host
+  pulls a (K, C) float block per chunk instead of K beta paths: the
+  reference's interpolate-then-predict pipeline (cv.py:284-314)
+  disappears.
+* Screening uses the max-over-folds group gradient norms: a screen set
+  valid for every fold.  The KKT verdict requires all folds to pass, so
+  folds advance in lockstep and the BASIL retry logic is unchanged.
+
+The batch axis composes with n-axis mesh sharding: fold state is (K, n)
+with n sharded, so the same XLA collectives ride under a vmap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import configs
+from ..exceptions import MaxCDsError
+from ..utils import Stopwatch, large_lmda
+from .basil import screen
+from .pin import pin_cov_solve, screen_eigh, screen_gram
+from .state_core import NaiveStateBase
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+_STEP_CACHE = {}
+
+
+def build_cv_chunk_step(X, intercept: bool, num_groups: int):
+    """Fused lambda-chunk step over a fold batch.
+
+    ``lax.scan`` over lambdas; inside, a ``vmap`` over folds of the same
+    per-lambda body as fused.py (screen gradient, pin solve, residual
+    reconstruction, invariance, KKT) plus the on-device CV loss pair.
+    """
+    mul_fn, _ = X.mul_spec()
+
+    @jax.jit
+    def chunk_step(
+        X_data,
+        # shared screen structure
+        Xs, cols_padded, slot_begin, slot_size, penalty_slots,
+        group_ids, penalty_cols, penalty_groups, is_screen_mask,
+        # per-fold (leading K axis)
+        A, means_s, eigvals, eigvecs,
+        beta0, active0, resid0, w_folds, X_means,
+        # loss inputs
+        y_full, w_base, w_train_sums, w_val_sums,
+        # path
+        lmdas, valid,
+        alpha, tol, dbeta_tol, newton_tol, newton_max_iters, max_iters,
+    ):
+        dtype = beta0.dtype
+        K = beta0.shape[0]
+
+        def fold_body(A_k, means_k, ev_k, evec_k, beta_k, act_k, resid_k,
+                      w_k, Xm_k, lmda):
+            resid_sum0 = jnp.vdot(w_k, resid_k, precision=_PRECISION)
+            grad_s = jnp.einsum("ns,n->s", Xs, w_k * resid_k,
+                                precision=_PRECISION)
+            if intercept:
+                grad_s = grad_s - means_k * resid_sum0
+
+            beta_n, _, act_n, _, iters, done = pin_cov_solve(
+                A_k, grad_s, beta_k, slot_begin, slot_size, ev_k, evec_k,
+                penalty_slots, act_k, lmda, alpha, tol, dbeta_tol,
+                newton_tol, newton_max_iters, max_iters,
+                jnp.zeros((), dtype),
+            )
+
+            dbeta = beta_n - beta_k
+            resid_n = resid_k - jnp.matmul(Xs, dbeta, precision=_PRECISION)
+            resid_sum = jnp.vdot(w_k, resid_n, precision=_PRECISION)
+
+            grad = mul_fn(X_data, resid_n, w_k)
+            if intercept:
+                grad = grad - resid_sum * Xm_k
+
+            ok = cols_padded >= 0
+            safe = jnp.where(ok, cols_padded, 0)
+            beta_cols = jnp.zeros_like(grad).at[safe].set(
+                jnp.where(ok, beta_n, 0.0), mode="drop"
+            )
+            l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
+            gadj = grad - l2s * (penalty_cols * beta_cols)
+            sq = jax.ops.segment_sum(gadj * gadj, group_ids,
+                                     num_segments=num_groups)
+            abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
+            viol = abs_grad > lmda * alpha * penalty_groups
+            kkt = ~jnp.any(viol & ~is_screen_mask)
+
+            # on-device CV loss: eta = y - resid + resid_sum (gaussian
+            # residual invariant); loss(eta) = sum w (-y eta + eta^2/2)
+            eta = y_full - resid_n + (resid_sum if intercept else 0.0)
+            loss_full = jnp.vdot(w_base, -y_full * eta + 0.5 * eta * eta,
+                                 precision=_PRECISION)
+            loss_train = jnp.vdot(w_k, -y_full * eta + 0.5 * eta * eta,
+                                  precision=_PRECISION)
+            return (beta_n, act_n, resid_n, abs_grad, done, kkt,
+                    loss_full, loss_train)
+
+        vfold = jax.vmap(
+            fold_body,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
+        )
+
+        def per_lambda(carry, inp):
+            beta, active, resid, abs_grad_c, stopped = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                beta, active, resid, abs_grad_c, stopped = args
+                (beta_n, act_n, resid_n, abs_grad, done, kkt,
+                 loss_full, loss_train) = vfold(
+                    A, means_s, eigvals, eigvecs, beta, active, resid,
+                    w_folds, X_means, lmda,
+                )
+                all_done = jnp.all(done)
+                accept = all_done & jnp.all(kkt)
+                val_loss = jnp.where(
+                    w_val_sums > 0,
+                    (loss_full - w_train_sums * loss_train) / w_val_sums,
+                    0.0,
+                )
+                carry_n = (beta_n, act_n, resid_n, abs_grad, ~accept)
+                emit = (val_loss, accept, all_done, jnp.ones((), bool))
+                return carry_n, emit
+
+            def skip(args):
+                K_ = args[0].shape[0]
+                emit = (jnp.zeros((K_,), dtype), jnp.zeros((), bool),
+                        jnp.ones((), bool), jnp.zeros((), bool))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, resid0,
+                jnp.zeros((K, num_groups), dtype), jnp.zeros((), bool))
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+def get_cv_chunk_step(X, intercept: bool, num_groups: int):
+    try:
+        key = ("cv", X.structure_key(), bool(intercept), int(num_groups))
+    except Exception:
+        return build_cv_chunk_step(X, intercept, num_groups)
+    hit = _STEP_CACHE.get(key)
+    if hit is None:
+        hit = _STEP_CACHE[key] = build_cv_chunk_step(X, intercept, num_groups)
+    return hit
+
+
+class BatchedCVGaussianDriver:
+    """Lockstep fold-batched gaussian path driver emitting CV losses."""
+
+    def __init__(self, X, y_raw, offsets, base_weights, weights_folds,
+                 w_train_sums, w_val_sums, state: NaiveStateBase):
+        self.s = state
+        self.X = X
+        K, n = weights_folds.shape
+        self.K = K
+        dtype = state.dtype
+        self._step = get_cv_chunk_step(X, state.intercept, len(state.groups))
+        mul_fn, X_data = X.mul_spec()
+        self._X_data = X_data
+        self._mul_fn = mul_fn
+
+        # losses and the eta invariant use the RAW response
+        # (eta = y_raw - resid + resid_sum); centering uses y - offsets
+        self.y_full = jnp.asarray(y_raw, dtype)
+        y_off = self.y_full - jnp.asarray(offsets, dtype)
+        self.w_base = jnp.asarray(base_weights, dtype)
+        self.w_folds = jnp.asarray(weights_folds, dtype)
+        self.w_train_sums = jnp.asarray(w_train_sums, dtype)
+        self.w_val_sums = jnp.asarray(w_val_sums, dtype)
+
+        ones = jnp.ones((n,), dtype)
+        # per-fold X column means and centered residuals
+        self.X_means = jax.vmap(lambda w: mul_fn(X_data, ones, w))(
+            self.w_folds
+        )
+        y_means = self.w_folds @ y_off
+        if state.intercept:
+            yc = y_off[None, :] - y_means[:, None]
+        else:
+            yc = jnp.broadcast_to(y_off, (K, n))
+        self.resid = yc
+        self._penalty_groups_dev = jnp.asarray(
+            state.penalty.astype(dtype)
+        )
+        # per-fold host-side screen values
+        self.beta_folds = np.zeros((K, 0), dtype)
+        self.active_folds = np.zeros((K, 0), bool)
+        self._weighted_version = -1
+        self._is_screen_dev = None
+        self._is_screen_version = -1
+        self.losses = []          # list of (K,) per accepted lambda
+        self.lmdas = []
+
+    def _screen_mask(self):
+        s = self.s
+        if self._is_screen_version != s._screen_version:
+            m = np.zeros(len(s.groups), bool)
+            m[s.screen_set] = True
+            self._is_screen_dev = jnp.asarray(m)
+            self._is_screen_version = s._screen_version
+        return self._is_screen_dev
+
+    def _sync_fold_buffers(self, S_val):
+        """Grow per-fold beta/active buffers after screen-set extension."""
+        K = self.K
+        if self.beta_folds.shape[1] < S_val:
+            pad = S_val - self.beta_folds.shape[1]
+            self.beta_folds = np.concatenate(
+                [self.beta_folds, np.zeros((K, pad), self.beta_folds.dtype)],
+                axis=1,
+            )
+        G_s = len(self.s.screen_set)
+        if self.active_folds.shape[1] < G_s:
+            pad = G_s - self.active_folds.shape[1]
+            self.active_folds = np.concatenate(
+                [self.active_folds, np.zeros((K, pad), bool)], axis=1
+            )
+
+    def _ensure_weighted(self, cache):
+        if self._weighted_version != cache.version or cache.A is None:
+            self.A, self.means_s = jax.vmap(
+                screen_gram, in_axes=(None, 0, None)
+            )(cache.Xs, self.w_folds, self.s.intercept)
+            self.eigvals, self.eigvecs = jax.vmap(
+                screen_eigh, in_axes=(0, None, None, None)
+            )(self.A, cache.slot_begin, cache.slot_size, cache.qmax)
+            cache.A = True  # marker: weighted quantities live on the driver
+            self._weighted_version = cache.version
+
+    def _run_chunk(self, lmdas, record):
+        s = self.s
+        cache = s.ensure_screen_cache()
+        self._sync_fold_buffers(cache.S_val)
+        self._ensure_weighted(cache)
+
+        dtype = s.dtype
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        K = self.K
+        beta0 = np.zeros((K, cache.S_cap), dtype)
+        beta0[:, : cache.S_val] = self.beta_folds[:, : cache.S_val]
+        active0 = np.zeros((K, cache.G_cap), bool)
+        G_s = len(s.screen_set)
+        active0[:, :G_s] = self.active_folds[:, :G_s]
+
+        carry, emits = self._step(
+            self._X_data,
+            cache.Xs, cache.cols_padded, cache.slot_begin, cache.slot_size,
+            cache.penalty_slots,
+            s._group_ids, s._penalty_cols, self._penalty_groups_dev,
+            self._screen_mask(),
+            self.A, self.means_s, self.eigvals, self.eigvecs,
+            jnp.asarray(beta0), jnp.asarray(active0), self.resid,
+            self.w_folds, self.X_means,
+            self.y_full, self.w_base, self.w_train_sums, self.w_val_sums,
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(s.tol, dtype),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+        )
+        beta_f, active_f, resid_f, abs_grad_f, _ = carry
+        val_losses, accepts, dones, processed = emits
+
+        (beta_h, active_h, abs_grad_h, losses_np, accepts_np, dones_np,
+         processed_np) = jax.device_get(
+            (beta_f, active_f, abs_grad_f, val_losses, accepts, dones,
+             processed)
+        )
+        if np.any(processed_np & ~dones_np):
+            raise MaxCDsError()
+
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+
+        if record:
+            for i in range(n_acc):
+                self.losses.append(losses_np[i])
+                self.lmdas.append(float(lm_pad[i]))
+                s.n_valid_solutions.append(True)
+            for i in range(n_acc, n_proc):
+                s.n_valid_solutions.append(False)
+
+        if n_proc:
+            self.beta_folds = np.asarray(beta_h)[:, : cache.S_val].copy()
+            self.active_folds = np.asarray(active_h)[:, :G_s].copy()
+            self.resid = resid_f
+            # screening signal: a screen set valid for EVERY fold
+            s.abs_grad = np.asarray(abs_grad_h).max(axis=0)
+            s.screen_is_active = self.active_folds.any(axis=0)
+            s.lmda = float(lm_pad[n_proc - 1])
+        return n_acc
+
+    def solve(self, path):
+        """Run the union-screen BASIL loop over the common path; returns
+        (K, L) validation losses."""
+        s = self.s
+        sw = Stopwatch().start()
+        # initial invariance at a huge lambda to seed abs_grad
+        self._run_chunk([large_lmda(s.dtype)], record=False)
+
+        idx = 0
+        kkt_passed = True
+        n_new_active = 0
+        current_active = int(s.screen_is_active.sum())
+        path = np.asarray(path, float)
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
+            screen(s, chunk[-1], kkt_passed, n_new_active,
+                   lmda_prev=lmda_prev, lmda_fallback=chunk[0],
+                   chunk_size=C)
+            n_acc = self._run_chunk(chunk, record=True)
+            idx += n_acc
+            kkt_passed = n_acc == C
+            if n_acc:
+                new_active = int(s.screen_is_active.sum())
+                n_new_active = new_active - current_active
+                current_active = new_active
+        s.total_time = sw.elapsed()
+        return np.asarray(self.losses).T  # (K, L)

@@ -170,3 +170,23 @@ def test_use_mesh_context():
     st = ad.grpnet(Xm, ad.glm.gaussian(y), lmda_path_size=4,
                    progress_bar=False)
     assert st.error == ""
+
+
+def test_cv_fold_batch_composes_with_mesh():
+    """Fold-batched CV over an n-sharded design returns identical losses
+    (fold axis = vmap, observation axis = mesh collectives)."""
+    from adelie_tpu import parallel
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(2)
+    n, p = 512, 40
+    X = rng.standard_normal((n, p))
+    y = X[:, :3] @ [1.0, -1.0, 0.5] + 0.2 * rng.standard_normal(n)
+
+    res1 = ad.cv_grpnet(X, ad.glm.gaussian(y), n_folds=4, seed=1,
+                        lmda_path_size=15, tol=1e-11)
+    mesh = parallel.make_mesh(8)
+    Xm = ad.matrix.dense(X, mesh=mesh)
+    res2 = ad.cv_grpnet(Xm, ad.glm.gaussian(y), n_folds=4, seed=1,
+                        lmda_path_size=15, tol=1e-11)
+    np.testing.assert_allclose(res1.losses, res2.losses, rtol=1e-6, atol=1e-9)
