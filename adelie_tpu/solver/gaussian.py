@@ -226,6 +226,8 @@ class GaussianNaiveDriver:
         # record accepted solutions
         if record:
             S_val = cache.S_val
+            iters_np = np.asarray(jax.device_get(iters_e))
+            G_s = len(s.screen_set)
             for i in range(n_proc):
                 if accepts_np[i]:
                     self._record(
@@ -237,6 +239,8 @@ class GaussianNaiveDriver:
                     s.screen_sizes.append(len(s.screen_set))
                 else:
                     s.n_valid_solutions.append(False)
+                s.benchmark["cd_iters"].append(int(iters_np[i]))
+                s.benchmark["cd_updates"].append(int(iters_np[i]) * G_s)
 
         # advance state through the last processed lambda
         if n_proc:

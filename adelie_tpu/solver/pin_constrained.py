@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bcd import newton_solver
+from ..constraint._pn import pn_block_solve
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -84,12 +85,18 @@ def _admm_update(P, DH, UH, v_t, l1, l2, lo, hi, x0, mu0, rho,
     return x, rho * u
 
 
-def _sweep_constrained(carry, consts, active_only):
-    """Gauss-Seidel pass with constraint dispatch per group."""
+def _sweep_constrained(carry, consts, active_only, cons_method="admm"):
+    """Gauss-Seidel pass with constraint dispatch per group.
+
+    ``cons_method`` (trace-time constant) selects the per-group
+    constrained block solver: inline ADMM or the reference's dual
+    proximal Newton (constraint/_pn.py)."""
     (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
      has_cons, P_pad, DH, UH, lo_pad, hi_pad, rho,
      cons_tol, cons_max_iters,
-     l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
+     l1, l2, newton_tol, newton_max_iters, dbeta_tol,
+     pn_slack, pn_nnls_tol, pn_nnls_max_iters,
+     pn_pinball_tol, pn_pinball_max_iters, big) = consts
     beta0, grad0, is_active0, rsq0, mu0 = carry
     S = A.shape[0]
     G, qmax = eigvals.shape
@@ -123,6 +130,19 @@ def _sweep_constrained(carry, consts, active_only):
                 return x_t, mu[i]
 
             def constrained(_):
+                if cons_method == "proximal_newton":
+                    return pn_block_solve(
+                        P_pad[i], lam, eigvecs[i], v_t, l1 * pk, l2 * pk,
+                        lo_pad[i], hi_pad[i], beta_t, mu[i], big,
+                        tol=cons_tol, slack=pn_slack,
+                        max_iters=cons_max_iters,
+                        nnls_tol=pn_nnls_tol,
+                        nnls_max_iters=pn_nnls_max_iters,
+                        pinball_tol=pn_pinball_tol,
+                        pinball_max_iters=pn_pinball_max_iters,
+                        newton_tol=newton_tol,
+                        newton_max_iters=newton_max_iters,
+                    )
                 return _admm_update(
                     P_pad[i], DH[i], UH[i], v_t, l1 * pk, l2 * pk,
                     lo_pad[i], hi_pad[i], beta_t, mu[i], rho,
@@ -169,7 +189,7 @@ def _sweep_constrained(carry, consts, active_only):
     return beta, grad, is_active, rsq, mu, convg
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("cons_method", "pn_nnls_max_iters", "pn_pinball_max_iters"))
 def pin_cov_solve_constrained(
     A,
     grad,
@@ -198,6 +218,12 @@ def pin_cov_solve_constrained(
     newton_max_iters,
     max_iters,
     rsq,
+    cons_method: str = "admm",
+    pn_slack=1e-4,
+    pn_nnls_tol=1e-7,
+    pn_nnls_max_iters=100000,
+    pn_pinball_tol=1e-7,
+    pn_pinball_max_iters=100000,
 ):
     """Constraint-aware variant of pin.pin_cov_solve.
 
@@ -218,10 +244,17 @@ def pin_cov_solve_constrained(
     lam_max = jnp.maximum(jnp.max(jnp.abs(eigvals)), 1.0)
     tol = jnp.maximum(tol, 100.0 * lam_max * (10.0 * eps) ** 2)
 
+    pn_nnls_tol = jnp.maximum(jnp.asarray(pn_nnls_tol, dtype), 10.0 * eps)
+    pn_pinball_tol = jnp.maximum(
+        jnp.asarray(pn_pinball_tol, dtype), 10.0 * eps
+    )
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype) * 0.25
     consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
               has_cons, P_pad, DH, UH, lo_pad, hi_pad, rho,
               cons_tol, cons_max_iters,
-              l1, l2, newton_tol, newton_max_iters, dbeta_tol)
+              l1, l2, newton_tol, newton_max_iters, dbeta_tol,
+              jnp.asarray(pn_slack, dtype), pn_nnls_tol,
+              pn_nnls_max_iters, pn_pinball_tol, pn_pinball_max_iters, big)
 
     def active_phase(state):
         beta, grad, is_active, rsq, mu, iters = state
@@ -234,13 +267,13 @@ def pin_cov_solve_constrained(
         def body(c):
             beta, grad, is_active, rsq, mu, convg_prev, _, it = c
             beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-                (beta, grad, is_active, rsq, mu), consts, True
+                (beta, grad, is_active, rsq, mu), consts, True, cons_method
             )
             return (beta, grad, is_active, rsq, mu, convg, convg_prev,
                     it + 1)
 
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-            (beta, grad, is_active, rsq, mu), consts, True
+            (beta, grad, is_active, rsq, mu), consts, True, cons_method
         )
         out = jax.lax.while_loop(
             cond, body,
@@ -261,7 +294,7 @@ def pin_cov_solve_constrained(
             (beta, grad, is_active, rsq, mu, iters)
         )
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-            (beta, grad, is_active, rsq, mu), consts, False
+            (beta, grad, is_active, rsq, mu), consts, False, cons_method
         )
         iters = iters + 1
         done = convg < tol

@@ -234,6 +234,9 @@ class NaiveStateBase:
     benchmark: dict = field(default_factory=lambda: {
         "screen": [], "fit_screen": [], "fit_active": [],
         "kkt": [], "invariance": [],
+        # per accepted lambda: CD sweeps and block-coordinate updates
+        # (sweeps x screened groups) — feeds the bench's iters/s metric
+        "cd_iters": [], "cd_updates": [],
     })
     total_time: float = 0.0
     error: str = ""

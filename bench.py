@@ -1,14 +1,26 @@
-"""Headline benchmark: full lambda-path gaussian lasso fit on whatever
-accelerator jax.devices() offers, vs scikit-learn's Cython coordinate
-descent (`lasso_path`) on CPU — the closest available stand-in for the
-reference's single-thread C++ CD (the reference repo publishes no absolute
-numbers; see BASELINE.md).
+"""Headline benchmark + per-chip efficiency accounting.
 
-Correctness is asserted before timing is reported: our objective must
-dominate sklearn's at every lambda (the reference test suite's fallback
-criterion, tests/test_solver.py:448-465).
+Workload: full lambda-path gaussian lasso fit on whatever accelerator
+jax.devices() offers, vs scikit-learn's Cython coordinate descent
+(`lasso_path`) on CPU — the closest available stand-in for the reference's
+single-thread C++ CD (the reference repo publishes no absolute numbers;
+see BASELINE.md).  Correctness is asserted before timing is reported: our
+objective must dominate sklearn's at every lambda (the reference test
+suite's fallback criterion, tests/test_solver.py:448-465).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Per BASELINE.json's stated metric, the JSON line also reports **BCD
+iterations/s per chip** (block-coordinate updates/s and CD sweeps/s over
+the timed path fit) and a **roofline account** of the hot kernels:
+
+- dense gradient ``X^T (w r)`` — bandwidth-bound matvec; % of HBM peak
+- screen Gram ``Xs^T W Xs`` — MXU-bound; % of the f32(HIGHEST) matmul peak
+- residual update ``Xs @ dbeta`` — bandwidth-bound; % of HBM peak
+- SNP 2-bit fused decode-matmul — VPU-decode-bound; reported as packed
+  GB/s and EFFECTIVE f32 TB/s (16x packing), which exceeds the HBM bound
+  of any unpacked design.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"iters_per_s", "cd_sweeps_per_s", "kernels": {...}}.
 ``vs_baseline`` > 1 means faster than the CPU baseline.
 """
 
@@ -17,6 +29,11 @@ import time
 
 import numpy as np
 
+# v5e (TPU v5 lite) per-chip peaks; fall back to these when the device
+# kind is unrecognized (the roofline percentages are then approximate)
+HBM_PEAK_GBPS = 819.0
+MXU_F32_HIGHEST_TFLOPS = 197.0 / 6.0   # bf16 peak / 6-pass f32 decomposition
+
 
 def _objective(X, y, beta, lmda):
     n = X.shape[0]
@@ -24,7 +41,106 @@ def _objective(X, y, beta, lmda):
     return 0.5 * np.sum(r * r) / n + lmda * np.sum(np.abs(beta))
 
 
+def _force(out):
+    import jax
+
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+
+
+def _timeit(fn, reps=10):
+    """Per-call device time amortizing the tunnel RTT (see
+    benchmark/bench_kernels.py)."""
+    out = fn()
+    _force(out)
+    t0 = time.perf_counter()
+    _force(fn())
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _force(out)
+    return max((time.perf_counter() - t0 - rtt) / reps, 1e-9)
+
+
+def _kernel_rooflines():
+    """Measure the hot device kernels and report achieved vs peak."""
+    import jax
+    import jax.numpy as jnp
+    from adelie_tpu.solver.pin import screen_gram
+
+    rng = np.random.default_rng(1)
+    out = {}
+
+    # dense gradient X^T (w r): n=50000 p=2000 f32 (bandwidth-bound)
+    n, p = 50000, 2000
+    X = jnp.asarray(rng.standard_normal((n, p)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    w = jnp.full((n,), 1.0 / n, jnp.float32)
+    grad = jax.jit(lambda X, v, w: jnp.einsum(
+        "n,np->p", v * w, X, precision=jax.lax.Precision.HIGHEST))
+    t = _timeit(lambda: grad(X, v, w))
+    gbps = n * p * 4 / t / 1e9
+    out["dense_grad"] = {
+        "ms": round(t * 1e3, 3), "gbps": round(gbps, 1),
+        "pct_roofline": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+
+    # screen Gram Xs^T W Xs: n=50000 S=1024 (MXU-bound)
+    S = 1024
+    Xs = jnp.asarray(rng.standard_normal((n, S)).astype(np.float32))
+    gram = jax.jit(lambda Xs, w: screen_gram(Xs, w, True)[0])
+    t = _timeit(lambda: gram(Xs, w))
+    tflops = (2.0 * n * S * S) / t / 1e12
+    out["screen_gram"] = {
+        "ms": round(t * 1e3, 3), "tflops": round(tflops, 2),
+        "pct_roofline": round(100 * tflops / MXU_F32_HIGHEST_TFLOPS, 1),
+    }
+
+    # residual update resid - Xs @ dbeta (bandwidth-bound)
+    dbeta = jnp.asarray(rng.standard_normal(S).astype(np.float32))
+    resid = v
+    rupd = jax.jit(lambda r, Xs, d: r - jnp.matmul(
+        Xs, d, precision=jax.lax.Precision.HIGHEST))
+    t = _timeit(lambda: rupd(resid, Xs, dbeta))
+    gbps = n * S * 4 / t / 1e9
+    out["resid_update"] = {
+        "ms": round(t * 1e3, 3), "gbps": round(gbps, 1),
+        "pct_roofline": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+
+    # SNP fused 2-bit decode-matmul: p=100k, n=50k (VPU-decode-bound)
+    try:
+        from adelie_tpu.matrix._snp_pallas import snp_mul_pallas
+
+        ps, ns = 100_000, 50_000
+        nb = (ns + 3) // 4
+        packed = jnp.asarray(
+            rng.integers(0, 256, size=(ps, nb), dtype=np.uint64).astype(
+                np.uint8)
+        )
+        u = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
+        imp = jnp.ones((ps,), jnp.float32)
+        t = _timeit(lambda: snp_mul_pallas(packed, u, imp))
+        packed_gbps = ps * nb / t / 1e9
+        eff_tbps = 16 * packed_gbps / 1e3   # decoded-f32-equivalent traffic
+        out["snp_grad"] = {
+            "ms": round(t * 1e3, 3),
+            "packed_gbps": round(packed_gbps, 1),
+            "effective_f32_tbps": round(eff_tbps, 2),
+            # >100% means the packed design beats the HBM bound of any
+            # unpacked f32 layout
+            "pct_vs_unpacked_hbm_bound": round(
+                100 * eff_tbps * 1e3 / HBM_PEAK_GBPS, 1),
+        }
+    except Exception as exc:  # non-TPU backends have no Mosaic
+        out["snp_grad"] = {"error": str(exc)[:120]}
+
+    return out
+
+
 def main():
+    import jax
+
     import adelie_tpu as ad
     from sklearn.linear_model import lasso_path
 
@@ -59,6 +175,11 @@ def main():
     lmdas = np.asarray(state.lmdas)
     n_sols = len(lmdas)
 
+    # BCD iterations/s per chip (BASELINE.json metric): block-coordinate
+    # updates = CD sweeps x screened groups, from the timed fit
+    cd_sweeps = int(np.sum(state.benchmark.get("cd_iters", [])))
+    bcd_updates = int(np.sum(state.benchmark.get("cd_updates", [])))
+
     # sklearn lasso_path on the same resolved path (alphas == our lambdas)
     t0 = time.perf_counter()
     alphas_out, coefs, _ = lasso_path(
@@ -82,6 +203,33 @@ def main():
     # loose gate: catch real solver breakage without tripping on f32 noise
     assert worst < 1e-3, f"objective dominance violated: rel gap {worst:.2e}"
 
+    kernels = _kernel_rooflines()
+
+    # constrained logistic path (fused chunked IRLS + proximal-Newton
+    # constraints, VERDICT r1 #6): warm wall-clock
+    import adelie_tpu.constraint as ct
+
+    nc, pc, qc = 1024, 60, 3
+    Xc = rng.standard_normal((nc, pc)).astype(np.float32)
+    yc = (Xc[:, :6] @ rng.standard_normal(6) > 0).astype(np.float32)
+    groupsc = np.arange(0, pc, qc)
+
+    def cons_fit():
+        return ad.grpnet(
+            Xc, ad.glm.binomial(yc, dtype=np.float32), groups=groupsc,
+            constraints=[ct.box(np.full(qc, -0.2), np.full(qc, 0.2))
+                         for _ in groupsc],
+            lmda_path_size=20, min_ratio=0.05, progress_bar=False,
+        )
+
+    stc = cons_fit()   # warm-up/compile
+    t0 = time.perf_counter()
+    stc = cons_fit()
+    cons_time = time.perf_counter() - t0
+    assert stc.error == "", stc.error
+    Bc = np.asarray(stc.betas.todense())
+    assert np.all(np.abs(Bc) <= 0.2 + 1e-3)
+
     print(json.dumps({
         "metric": (
             f"gaussian lasso full-path fit n={n} p={p} ({n_sols} lambdas), "
@@ -91,6 +239,12 @@ def main():
         "value": round(ours, 4),
         "unit": "s",
         "vs_baseline": round(base_time / ours, 3),
+        "iters_per_s": round(bcd_updates / ours, 1),
+        "cd_sweeps_per_s": round(cd_sweeps / ours, 1),
+        "bcd_updates": bcd_updates,
+        "device": str(jax.devices()[0].device_kind),
+        "constrained_logistic_s": round(cons_time, 3),
+        "kernels": kernels,
     }))
 
 
