@@ -39,6 +39,14 @@ class Configs:
     # Matmul precision for the large MXU contractions ("default" | "float32" |
     # "highest").  CD inner loops always run in the solver dtype.
     matmul_precision: str = "highest"
+    # Cooperative interrupt/watchdog guard: total CD sweeps a single fused
+    # lambda-chunk device program may spend before freezing and returning
+    # control to the host (which resumes at the next un-accepted lambda).
+    # Bounds every device call's duration so user interrupts land between
+    # chunks and a pathological fit exits with a valid partial state
+    # instead of tripping the platform watchdog (the reference polls
+    # PyErr_CheckSignals every CD iteration, py_state.cpp:70-74).
+    chunk_sweep_budget: int = 1_000_000
 
 
 _default = Configs()

@@ -43,18 +43,19 @@ def build_gaussian_chunk_step(X, intercept: bool, num_groups: int):
         alpha, tol, dbeta_tol, newton_tol,
         newton_max_iters, max_iters, rsq0,
         y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
+        sweep_budget,
     ):
         dtype = beta0.dtype
 
         def per_lambda(carry, inp):
             (beta, active, resid, rsq, abs_grad_c, stopped, prev_dev,
-             have_prev) = carry
+             have_prev, cum_iters, early_seen) = carry
             lmda, is_valid = inp
             run_it = is_valid & (~stopped)
 
             def run(args):
                 (beta, active, resid, rsq, abs_grad_c, stopped, prev_dev,
-                 have_prev) = args
+                 have_prev, cum_iters, early_seen) = args
                 resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
                 vw = w * resid
                 grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
@@ -96,13 +97,19 @@ def build_gaussian_chunk_step(X, intercept: bool, num_groups: int):
                     (dev >= adev_tol)
                     | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
                 )
-                stopped_n = (~accept) | early
+                # cooperative watchdog guard: freeze the scan once the
+                # chunk's total sweep budget is spent (the host resumes
+                # at the next un-accepted lambda)
+                cum_n = cum_iters + iters
+                stopped_n = (~accept) | early | (cum_n >= sweep_budget)
 
                 carry_n = (
                     beta_n, active_n, resid_n, rsq_n, abs_grad,
                     stopped_n,
                     jnp.where(accept, dev, prev_dev),
                     have_prev | accept,
+                    cum_n,
+                    early_seen | early,
                 )
                 emit = (beta_n, rsq_n, resid_sum, accept, kkt, done, dev,
                         jnp.ones((), bool), iters)
@@ -120,9 +127,11 @@ def build_gaussian_chunk_step(X, intercept: bool, num_groups: int):
 
         init = (beta0, active0, resid0, rsq0,
                 jnp.zeros((num_groups,), dtype),
-                jnp.zeros((), bool), prev_dev, have_prev_dev)
+                jnp.zeros((), bool), prev_dev, have_prev_dev,
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool))
         carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
-        return carry, emits
+        # expose (leading 8 fields, early_seen): cum_iters is internal
+        return carry[:8] + (carry[9],), emits
 
     return chunk_step
 

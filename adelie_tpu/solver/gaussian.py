@@ -64,8 +64,17 @@ class GaussianNaiveDriver:
     def update_loss_null(self):
         pass  # gaussian loss_null is free (reference update_loss_null_f no-op)
 
+    # pin mode: the screen set is FIXED (reference StateGaussianPinNaive)
+    # — mask every group as screened so the KKT verdict is vacuous and the
+    # chunk scan accepts every lambda
+    pin_mode = False
+
     def _screen_mask(self):
         s = self.s
+        if self.pin_mode:
+            if self._is_screen_dev is None or not bool(self._is_screen_dev.all()):
+                self._is_screen_dev = jnp.ones(len(s.groups), bool)
+            return self._is_screen_dev
         if self._is_screen_version != s._screen_version:
             m = np.zeros(len(s.groups), bool)
             m[s.screen_set] = True
@@ -197,9 +206,10 @@ class GaussianNaiveDriver:
             jnp.asarray(bool(s.early_exit)),
             jnp.asarray(self._prev_dev, dtype),
             jnp.asarray(self._have_prev_dev),
+            jnp.asarray(configs.chunk_sweep_budget, jnp.int32),
         )
         (beta_f, active_f, resid_f, rsq_f, abs_grad_f, stopped_f,
-         prev_dev_f, have_prev_f) = carry
+         prev_dev_f, have_prev_f, early_seen_f) = carry
         (betas_e, rsqs_e, rsums_e, accepts_e, kkts_e, dones_e, devs_e,
          processed_e, iters_e) = emits
 
@@ -217,11 +227,9 @@ class GaussianNaiveDriver:
 
         n_proc = int(processed_np.sum())
         n_acc = int(accepts_np[:n_proc].sum())  # accepts are a prefix
-        # stop was an early-exit (not a KKT failure) iff the last processed
-        # lambda was accepted and the scan froze afterwards
-        early_stopped = bool(
-            n_proc and bool(stopped_f) and bool(accepts_np[n_proc - 1])
-        )
+        # stop was a deviance early-exit (not a KKT failure or a sweep-
+        # budget freeze) iff the early flag was raised on device
+        early_stopped = bool(jax.device_get(early_seen_f))
 
         # record accepted solutions
         if record:

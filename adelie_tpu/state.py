@@ -30,14 +30,23 @@ __all__ = [
 
 
 def check_state(state, method: str = "assert"):
-    """Audit screen/active-set invariants (reference state.py check()).
+    """Audit solver-state invariants (reference state.py check(), e.g. the
+    gaussian_pin validator at state.py:180-400).
 
-    Validates:
-    * screen_set entries are unique, valid group indices,
-    * screen_begins are the cumulative group sizes,
-    * screen_beta has the total screen value size,
-    * screen_is_active has one flag per screen group,
-    * abs_grad (when present) has one entry per group.
+    Validates, when the corresponding fields are present:
+
+    * problem structure: groups strictly increasing from 0 with positive
+      sizes tiling [0, p); penalty nonnegative of length G; alpha in
+      [0, 1]; weights nonnegative summing to ~1;
+    * screen bookkeeping: screen_set unique, in-range; screen_begins the
+      cumulative sizes; screen_beta sized to the screened value count and
+      finite; screen_is_active one flag per screen group;
+    * invariance quantities: abs_grad (G,) finite and nonnegative; grad
+      (p,) finite;
+    * outputs: betas/lmdas/intercepts/devs lengths agree; lmdas strictly
+      decreasing; devs in [-eps, 1+eps] and nondecreasing (tolerance for
+      degenerate paths); off-screen beta columns are exactly zero;
+    * configuration sanity: tol/newton_tol positive, max sizes >= current.
     """
     failures = []
 
@@ -45,25 +54,86 @@ def check_state(state, method: str = "assert"):
         if not cond:
             failures.append(msg)
 
+    # --- problem structure ---
+    groups = np.asarray(state.groups)
+    gsizes = np.asarray(state.group_sizes)
+    G = len(groups)
+    p = int(getattr(state, "p", groups[-1] + gsizes[-1] if G else 0))
+    ensure(np.all(gsizes > 0), "group_sizes must be positive")
+    ensure(np.array_equal(groups, np.concatenate([[0], np.cumsum(gsizes)])[:-1]),
+           "groups must tile [0, p) contiguously")
+    ensure(G == 0 or int(groups[-1] + gsizes[-1]) == p,
+           "groups/group_sizes must cover exactly p columns")
+    penalty = np.asarray(getattr(state, "penalty", np.zeros(0)))
+    if penalty.size:
+        ensure(len(penalty) == G, "penalty must be (G,)")
+        ensure(np.all(penalty >= 0), "penalty must be >= 0")
+    alpha = getattr(state, "alpha", 1.0)
+    ensure(0.0 <= float(alpha) <= 1.0, "alpha must be in [0, 1]")
+    w = getattr(state, "weights", None)
+    if w is not None:
+        w = np.asarray(w)
+        ensure(np.all(w >= 0), "weights must be >= 0")
+        ensure(abs(float(w.sum()) - 1.0) < 1e-6, "weights must sum to 1")
+
+    # --- configs ---
+    ensure(float(getattr(state, "tol", 1.0)) > 0, "tol must be > 0")
+    ensure(float(getattr(state, "newton_tol", 1.0)) >= 0,
+           "newton_tol must be >= 0")
+    mss = getattr(state, "max_screen_size", None)
+    if mss is not None:
+        ensure(len(state.screen_set) <= mss,
+               "screen_set exceeds max_screen_size")
+
+    # --- screen bookkeeping ---
     ss = np.asarray(state.screen_set)
-    G = len(state.groups)
     ensure(len(np.unique(ss)) == len(ss), "screen_set must be unique")
     ensure(np.all((ss >= 0) & (ss < G)), "screen_set out of range")
-    gs = state.group_sizes[ss] if len(ss) else np.zeros(0, int)
+    gs = gsizes[ss] if len(ss) else np.zeros(0, int)
     begins = np.concatenate([[0], np.cumsum(gs)])[:-1] if len(ss) else np.zeros(0, int)
     ensure(np.array_equal(np.asarray(state.screen_begins), begins),
            "screen_begins inconsistent with screen_set")
-    ensure(len(state.screen_beta) == int(gs.sum()),
-           "screen_beta size inconsistent")
+    sbeta = np.asarray(state.screen_beta)
+    ensure(len(sbeta) == int(gs.sum()), "screen_beta size inconsistent")
+    ensure(np.all(np.isfinite(sbeta)), "screen_beta must be finite")
     ensure(len(state.screen_is_active) == len(ss),
            "screen_is_active size inconsistent")
+
+    # --- invariance quantities ---
     if state.abs_grad is not None:
-        ensure(len(state.abs_grad) == G, "abs_grad must be (G,)")
+        ag = np.asarray(state.abs_grad)
+        ensure(len(ag) == G, "abs_grad must be (G,)")
+        ensure(np.all(np.isfinite(ag)), "abs_grad must be finite")
+        ensure(np.all(ag >= 0), "abs_grad must be >= 0")
+    grad = getattr(state, "grad", None)
+    if grad is not None:
+        ga = np.asarray(grad)
+        ensure(ga.shape == (p,), "grad must be (p,)")
+        ensure(np.all(np.isfinite(ga)), "grad must be finite")
+
+    # --- outputs ---
     n_sols = (
         len(state.betas) if isinstance(state.betas, list)
         else state.betas.shape[0]
     )
-    ensure(n_sols == len(state.lmdas), "betas/lmdas length mismatch")
+    lmdas = np.asarray(state.lmdas, float)
+    ensure(n_sols == len(lmdas), "betas/lmdas length mismatch")
+    intercepts = np.asarray(getattr(state, "intercepts", np.zeros(n_sols)))
+    ensure(len(intercepts) == n_sols, "intercepts/betas length mismatch")
+    if len(lmdas) > 1:
+        ensure(np.all(np.diff(lmdas) < 0), "lmdas must be strictly decreasing")
+    devs = np.asarray(getattr(state, "devs", np.zeros(0)), float)
+    if devs.size:
+        ensure(len(devs) == n_sols, "devs/betas length mismatch")
+        ensure(np.all(devs <= 1.0 + 1e-6), "devs must be <= 1")
+        ensure(np.all(np.diff(devs) >= -1e-6), "devs must be nondecreasing")
+    if not isinstance(state.betas, list) and n_sols and len(ss) < G:
+        # off-screen columns must be exactly zero
+        in_screen = np.zeros(p, bool)
+        for g in ss:
+            in_screen[groups[g]:groups[g] + gsizes[g]] = True
+        off = state.betas[:, ~in_screen]
+        ensure(off.nnz == 0, "nonzero coefficients outside the screen set")
 
     if failures:
         msg = "state check failed: " + "; ".join(failures)
@@ -204,41 +274,229 @@ def css_cov(*, S, subset_size=None, **kwargs):
     return _S()
 
 
-def gaussian_pin_naive(*, X, y_or_resid=None, groups=None, lmda_path=None,
-                       **kwargs):
-    """Pin solver over a FIXED screen set (reference state.py
-    gaussian_pin_naive): fit the given lambdas with screening disabled
-    (screen set = all given groups)."""
-    import numpy as np
+def gaussian_pin_naive(
+    *, X, y=None, groups=None, alpha: float = 1.0, penalty=None,
+    weights=None, screen_set=None, lmda_path=None,
+    resid=None, screen_beta=None, screen_is_active=None, rsq: float = 0.0,
+    intercept: bool = True, max_iters: int = int(1e5), tol: float = 1e-7,
+    newton_tol: float = 1e-12, newton_max_iters: int = 1000,
+    y_or_resid=None, **kwargs,
+):
+    """Pin solver over a FIXED screen set (reference state.py:1677
+    ``gaussian_pin_naive`` / StateGaussianPinNaive).
 
-    from . import glm as glm_mod
-    from .solver import grpnet
+    Unlike the path solver, the screen set never grows and no KKT check
+    runs: every lambda in ``lmda_path`` is fitted on exactly the groups in
+    ``screen_set`` (default: all groups).  ``resid``/``screen_beta``/
+    ``screen_is_active``/``rsq`` accept an arbitrary warm iterate whose
+    invariants the caller maintains (the reference's copy-construction /
+    warm-start contract, py_state.cpp:481).
+    """
+    import jax.numpy as jnp
 
-    def run(progress_bar=False, exit_cond=None):
-        glm = glm_mod.gaussian(np.asarray(y_or_resid))
-        return grpnet(
-            X, glm, groups=groups, lmda_path=lmda_path,
-            screen_rule="strong", max_screen_size=None,
-            progress_bar=progress_bar, exit_cond=exit_cond, **kwargs,
-        )
+    from .solver import _as_matrix, finalize_state
+    from .solver.basil import compute_lmda_max
+    from .solver.gaussian import GaussianNaiveDriver, GaussianNaiveState
+
+    if y is None:
+        y = y_or_resid
+    X = _as_matrix(X)
+    dtype = np.dtype(X.dtype)
+    n, p = X.rows(), X.cols()
+    y = np.asarray(y, dtype)
+    if groups is None:
+        groups = np.arange(p, dtype=int)
+    groups = np.asarray(groups, int)
+    group_sizes = np.diff(np.concatenate([groups, [p]])).astype(int)
+    G = len(groups)
+    if penalty is None:
+        penalty = np.sqrt(group_sizes).astype(float)
+    penalty = np.asarray(penalty, float)
+    if weights is None:
+        weights = np.full(n, 1.0 / n)
+    weights = np.asarray(weights, float)
+    weights = weights / weights.sum()
+    if screen_set is None:
+        screen_set = np.arange(G)
+    screen_set = np.asarray(screen_set, int)
+    gs = group_sizes[screen_set]
+    screen_begins = (
+        np.concatenate([[0], np.cumsum(gs)])[:-1].astype(int)
+        if len(screen_set) else np.zeros(0, int)
+    )
+    S_val = int(gs.sum())
+    if screen_beta is None:
+        screen_beta = np.zeros(S_val, dtype)
+    screen_beta = np.asarray(screen_beta, dtype)
+    if screen_is_active is None:
+        screen_is_active = np.ones(len(screen_set), bool)
+    screen_is_active = np.asarray(screen_is_active, bool)
+
+    if lmda_path is None:
+        raise ValueError("gaussian_pin_naive requires lmda_path")
+    lmda_path = np.array(np.flip(np.sort(np.asarray(lmda_path, float))))
+
+    w_dev = jnp.asarray(weights, dtype)
+    y_dev = jnp.asarray(y, dtype)
+    ones = jnp.ones((n,), dtype)
+    X_means = X.mul(ones, w_dev)
+    y_mean = float(jnp.vdot(w_dev, y_dev)) if intercept else 0.0
+    yc = y_dev - y_mean
+    y_var = float(jnp.vdot(w_dev, yc * yc))
+    if resid is None:
+        if S_val:
+            cols = np.concatenate([
+                np.arange(groups[g], groups[g] + group_sizes[g])
+                for g in screen_set
+            ]).astype(np.int32)
+            resid = yc - X.gather(cols) @ jnp.asarray(screen_beta, dtype)
+        else:
+            resid = yc
+    resid = jnp.asarray(resid, dtype)
+    resid_sum = float(jnp.vdot(w_dev, resid))
+
+    state = GaussianNaiveState(
+        X=X, groups=groups, group_sizes=group_sizes, alpha=float(alpha),
+        penalty=penalty, intercept=bool(intercept), dtype=dtype, n=n, p=p,
+        max_iters=int(max_iters), tol=float(tol),
+        newton_tol=float(newton_tol), newton_max_iters=int(newton_max_iters),
+        early_exit=False, setup_lmda_max=False, setup_lmda_path=False,
+        lmda_path=lmda_path, lmda_max=float(lmda_path[0]),
+        screen_set=screen_set, screen_begins=screen_begins,
+        screen_beta=screen_beta, screen_is_active=screen_is_active,
+        lmda=np.inf,
+        weights=w_dev, X_means=X_means, y_mean=y_mean, y_var=y_var,
+        rsq=float(rsq), resid=resid, resid_sum=resid_sum,
+    )
+    state.grad = X.mul(resid, w_dev)
+
+    class _PinState(_BoundState):
+        def __init__(self, state):
+            driver = GaussianNaiveDriver(state)
+            driver.pin_mode = True
+
+            def run(progress_bar=False, exit_cond=None):
+                path = np.asarray(state.lmda_path, float)
+                C = int(state.lmda_chunk)
+                i = 0
+                while i < len(path):
+                    n_acc, early = driver._run_chunk(
+                        path[i:i + C], record=True
+                    )
+                    # pin mode accepts every processed lambda
+                    i += max(n_acc, 1)
+                    if early or (exit_cond and exit_cond(state)):
+                        break
+                return finalize_state(state)
+
+            super().__init__(state, run)
+
+    return _PinState(state)
+
+
+def gaussian_pin_cov(*, A, v, groups=None, alpha: float = 1.0, penalty=None,
+                     screen_set=None, lmda_path=None, screen_beta=None,
+                     screen_is_active=None, max_iters: int = int(1e5),
+                     tol: float = 1e-7, newton_tol: float = 1e-12,
+                     newton_max_iters: int = 1000, **kwargs):
+    """Covariance-form pin solver over a FIXED screen set (reference
+    state.py gaussian_pin_cov / StateGaussianPinCov): fit each lambda on
+    exactly ``screen_set`` against the PSD matrix ``A`` and linear term
+    ``v``, tracking the screen gradient (no n-vector residual)."""
+    import jax.numpy as jnp
+
+    from . import matrix as mx
+    from .solver.pin import pin_cov_solve, screen_eigh
+    from .utils import bucket_pow2
+
+    if not isinstance(A, matrix_mod.MatrixCovBase):
+        A = mx.dense(np.asarray(A), method="cov")
+    p = A.cols()
+    v = np.asarray(v, np.float64)
+    if groups is None:
+        groups = np.arange(p, dtype=int)
+    groups = np.asarray(groups, int)
+    group_sizes = np.diff(np.concatenate([groups, [p]])).astype(int)
+    G = len(groups)
+    if penalty is None:
+        penalty = np.sqrt(group_sizes).astype(float)
+    penalty = np.asarray(penalty, float)
+    if screen_set is None:
+        screen_set = np.arange(G)
+    screen_set = np.asarray(screen_set, int)
+    if lmda_path is None:
+        raise ValueError("gaussian_pin_cov requires lmda_path")
+    lmda_path = np.array(np.flip(np.sort(np.asarray(lmda_path, float))))
+
+    dtype = np.dtype(A.dtype)
+    gs = group_sizes[screen_set]
+    begins = (np.concatenate([[0], np.cumsum(gs)])[:-1].astype(int)
+              if len(screen_set) else np.zeros(0, int))
+    S_val = int(gs.sum())
+    cols = np.concatenate([
+        np.arange(groups[g], groups[g] + group_sizes[g]) for g in screen_set
+    ]).astype(np.int32) if S_val else np.zeros(0, np.int32)
+    qmax = bucket_pow2(int(gs.max())) if len(screen_set) else 1
+
+    A_ss = jnp.asarray(A.block(cols, cols), dtype)
+    v_s = jnp.asarray(v[cols], dtype)
+    slot_begin = jnp.asarray(begins.astype(np.int32))
+    slot_size = jnp.asarray(gs.astype(np.int32))
+    penalty_slots = jnp.asarray(penalty[screen_set].astype(dtype))
+    eigvals, eigvecs = screen_eigh(A_ss, slot_begin, slot_size, qmax)
+
+    if screen_beta is None:
+        screen_beta = np.zeros(S_val, dtype)
+    beta = jnp.asarray(screen_beta, dtype)
+    if screen_is_active is None:
+        screen_is_active = np.ones(len(screen_set), bool)
+    active = jnp.asarray(screen_is_active)
 
     class _S:
+        def __init__(self):
+            self.screen_set = screen_set
+            self.screen_begins = begins
+            self.groups = groups
+            self.group_sizes = group_sizes
+            self.lmdas = []
+            self.betas = []
+            self.intercepts = []
+            self.error = ""
+
         def solve(self, progress_bar=False, exit_cond=None):
-            return run(progress_bar, exit_cond)
+            import scipy.sparse as sp
 
-    return _S()
+            nonlocal beta, active
+            rsq = jnp.zeros((), dtype)
+            from .configs import configs as _cfg
 
+            for lm in lmda_path:
+                grad_s = v_s - jnp.matmul(A_ss, beta)
+                beta, _, active, rsq, _, done = pin_cov_solve(
+                    A_ss, grad_s,
+                    beta, slot_begin, slot_size, eigvals, eigvecs,
+                    penalty_slots, active,
+                    jnp.asarray(lm, dtype), jnp.asarray(alpha, dtype),
+                    jnp.asarray(tol, dtype),
+                    jnp.asarray(_cfg.dbeta_tol, dtype),
+                    jnp.asarray(newton_tol, dtype),
+                    jnp.asarray(newton_max_iters, np.int32),
+                    jnp.asarray(max_iters, np.int32), rsq,
+                )
+                b = np.asarray(beta)
+                nz = np.abs(b) > 0
+                self.betas.append(sp.csr_matrix(
+                    (b[nz], (np.zeros(int(nz.sum()), int), cols[nz])),
+                    shape=(1, p),
+                ))
+                self.intercepts.append(0.0)
+                self.lmdas.append(float(lm))
+            import scipy.sparse as sp
 
-def gaussian_pin_cov(*, A, v, groups=None, lmda_path=None, **kwargs):
-    """Covariance-form pin solver state (reference state.py
-    gaussian_pin_cov)."""
-    from .solver import gaussian_cov as _impl
-
-    class _S:
-        def solve(self, progress_bar=False, exit_cond=None):
-            return _impl(A=A, v=v, groups=groups, lmda_path=lmda_path,
-                         progress_bar=progress_bar, exit_cond=exit_cond,
-                         **kwargs)
+            self.betas = sp.vstack(self.betas).tocsr()
+            self.lmdas = np.asarray(self.lmdas)
+            self.intercepts = np.asarray(self.intercepts)
+            return self
 
     return _S()
 

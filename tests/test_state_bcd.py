@@ -101,3 +101,137 @@ def test_save_load_warm_start(tmp_path):
     B2 = np.asarray(st2.betas.todense())
     B3 = np.asarray(st3.betas.todense())[-2:]
     np.testing.assert_allclose(B2, B3, atol=1e-8)
+
+
+class TestPinStates:
+    """Real pin-solver states over FIXED screen sets (VERDICT r1 #7;
+    reference state.py:1677 gaussian_pin_naive, StateGaussianPinCov)."""
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        n, p = 200, 30
+        X = rng.standard_normal((n, p))
+        y = X[:, :4] @ [1.0, -1.0, 0.5, 0.3] + 0.1 * rng.standard_normal(n)
+        return X, y
+
+    def test_pin_naive_matches_full_fit(self):
+        X, y = self._data()
+        full = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=8,
+                         min_ratio=0.1, progress_bar=False, tol=1e-12,
+                         early_exit=False)
+        B_full = np.asarray(full.betas.todense())
+
+        # all-groups pin == path solve
+        ps = ad.state.gaussian_pin_naive(
+            X=X, y=y, lmda_path=np.asarray(full.lmdas), tol=1e-12
+        )
+        out = ps.solve()
+        np.testing.assert_allclose(
+            np.asarray(out.betas.todense()), B_full, atol=1e-8
+        )
+        np.testing.assert_allclose(out.intercepts, full.intercepts,
+                                   atol=1e-8)
+
+        # arbitrary FIXED superset of the support == path solve, and the
+        # off-screen columns stay exactly zero
+        support = np.unique(np.nonzero(B_full)[1])
+        screen = np.unique(np.concatenate([support, [14, 20]]))
+        ps2 = ad.state.gaussian_pin_naive(
+            X=X, y=y, screen_set=screen,
+            lmda_path=np.asarray(full.lmdas), tol=1e-12,
+        )
+        out2 = ps2.solve()
+        ad.state.check_state(out2)
+        np.testing.assert_allclose(
+            np.asarray(out2.betas.todense()), B_full, atol=1e-8
+        )
+
+    def test_pin_naive_warm_resid_input(self):
+        """The pin state accepts an arbitrary warm (resid, screen_beta)
+        pair whose invariant the caller maintains."""
+        X, y = self._data()
+        n = X.shape[0]
+        lmda_path = np.array([0.5, 0.2, 0.1])
+        cold = ad.state.gaussian_pin_naive(
+            X=X, y=y, screen_set=np.arange(10), lmda_path=lmda_path,
+            tol=1e-12,
+        ).solve()
+
+        # warm: start from the cold fit's first solution
+        beta0 = np.asarray(cold.betas.todense())[0, :10]
+        yc = y - y.mean()
+        resid = yc - X[:, :10] @ beta0
+        warm = ad.state.gaussian_pin_naive(
+            X=X, y=y, screen_set=np.arange(10), lmda_path=lmda_path,
+            screen_beta=beta0, resid=resid, tol=1e-12,
+        ).solve()
+        np.testing.assert_allclose(
+            np.asarray(warm.betas.todense()),
+            np.asarray(cold.betas.todense()), atol=1e-8,
+        )
+
+    def test_pin_cov_matches_pin_naive(self):
+        X, y = self._data()
+        n = X.shape[0]
+        Xc = X - X.mean(0)
+        yc = y - y.mean()
+        lmda_path = np.array([0.3, 0.1, 0.05])
+        A = Xc.T @ Xc / n
+        v = Xc.T @ yc / n
+        outc = ad.state.gaussian_pin_cov(
+            A=A, v=v, lmda_path=lmda_path, tol=1e-12
+        ).solve()
+        outn = ad.state.gaussian_pin_naive(
+            X=Xc, y=yc, lmda_path=lmda_path, tol=1e-12, intercept=False
+        ).solve()
+        np.testing.assert_allclose(
+            np.asarray(outc.betas.todense()),
+            np.asarray(outn.betas.todense()), atol=1e-7,
+        )
+
+
+def test_check_state_before_and_after_solve():
+    """check() runs on warm-start states before and after solves
+    (reference tests/test_solver.py:474-480 pattern)."""
+    rng = np.random.default_rng(5)
+    n, p = 150, 20
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - X[:, 1] + 0.1 * rng.standard_normal(n)
+
+    st = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=6, min_ratio=0.2,
+                   progress_bar=False)
+    assert ad.state.check_state(st) == []
+    # warm-start continuation re-checks cleanly
+    st2 = ad.grpnet(X, ad.glm.gaussian(y),
+                    lmda_path=np.asarray(st.lmdas) * 0.5, warm_start=st,
+                    progress_bar=False)
+    assert ad.state.check_state(st2) == []
+
+    # a corrupted state is caught
+    st2.screen_begins = st2.screen_begins + 1
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="screen_begins"):
+        ad.state.check_state(st2)
+
+
+def test_check_state_catches_corruptions():
+    rng = np.random.default_rng(6)
+    X = rng.standard_normal((80, 10))
+    y = X[:, 0] + 0.1 * rng.standard_normal(80)
+    st = ad.grpnet(X, ad.glm.gaussian(y), lmda_path_size=4, min_ratio=0.3,
+                   progress_bar=False)
+
+    import copy
+    import pytest as _pytest
+
+    for field, bad, msg in [
+        ("penalty", -np.ones(10), "penalty"),
+        ("alpha", 1.5, "alpha"),
+        ("screen_beta", np.full_like(st.screen_beta, np.nan), "finite"),
+        ("abs_grad", np.full(10, -1.0), "abs_grad"),
+    ]:
+        st_bad = copy.copy(st)
+        setattr(st_bad, field, bad)
+        with _pytest.raises(AssertionError, match=msg):
+            ad.state.check_state(st_bad)
