@@ -17,6 +17,7 @@ The reference's parallel substrate is OpenMP threads over row/column blocks
 everything is a no-op, so solvers are mesh-agnostic.
 """
 
+import os
 from contextlib import contextmanager
 
 import jax
@@ -83,3 +84,87 @@ def pad_rows_to_multiple(arr, multiple, fill=0.0):
         return arr, n
     pad_width = [(0, rem)] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, pad_width, constant_values=fill), n
+
+
+# --------------------------------------------------------------------------- #
+# multi-host (DCN) scale-out                                                   #
+# --------------------------------------------------------------------------- #
+
+
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Initialize multi-host JAX over DCN (SURVEY §2.12: the reference has
+    no distributed backend; the TPU replacement is ``jax.distributed``
+    with collectives over ICI within a slice and DCN across hosts).
+
+    A no-op when already initialized or when the arguments/environment
+    (``JAX_COORDINATOR_ADDRESS`` etc.) identify a single process.  After
+    this, ``jax.devices()`` spans every host; build meshes with
+    :func:`make_mesh` as usual and shard the observation axis across the
+    global device list.  Returns (process_index, process_count).
+    """
+    import jax
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is not None and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def scenario_shard(n_scenarios, *, n_shards=None, shard_index=None):
+    """Indices of the scenarios THIS process runs (round-robin).
+
+    The net-new TPU parallelism axis (SURVEY §2.12 path/fold batching):
+    independent scenarios — CV folds, lambda sub-paths, phenotypes,
+    bootstrap replicates — are striped across hosts; each host fits its
+    stripe with its local chips and results are exchanged once at the
+    end.  Overrides ``n_shards``/``shard_index`` exist for testing and
+    for schedulers that manage their own process grid.
+    """
+    import jax
+
+    if n_shards is None:
+        n_shards = jax.process_count()
+    if shard_index is None:
+        shard_index = jax.process_index()
+    return list(range(shard_index, int(n_scenarios), int(n_shards)))
+
+
+def scenario_map(fn, scenarios, *, n_shards=None, shard_index=None,
+                 gather=True):
+    """Run ``fn`` over independent scenarios, striped across processes.
+
+    Returns a list aligned with ``scenarios``; entries this process did
+    not compute are ``None`` unless ``gather=True`` (default) and the
+    results are numeric pytrees, in which case every process receives all
+    results via a DCN all-gather (``multihost_utils.process_allgather``).
+    Single-process: a plain map.
+    """
+    import jax
+
+    idxs = scenario_shard(len(scenarios), n_shards=n_shards,
+                          shard_index=shard_index)
+    local = {i: fn(scenarios[i]) for i in idxs}
+    n_proc = jax.process_count() if n_shards is None else n_shards
+    if n_proc == 1:
+        return [local[i] for i in range(len(scenarios))]
+    out = [local.get(i) for i in range(len(scenarios))]
+    if not gather or jax.process_count() == 1:
+        return out
+    from jax.experimental import multihost_utils
+
+    # exchange: each process broadcasts its stripe; shapes/dtypes must
+    # match across scenarios for the stacked all-gather
+    for i in range(len(scenarios)):
+        owner = i % jax.process_count()
+        payload = out[i] if owner == jax.process_index() else None
+        template = local[next(iter(local))]
+        if payload is None:
+            payload = jax.tree_util.tree_map(np.zeros_like, template)
+        gathered = multihost_utils.process_allgather(payload)
+        out[i] = jax.tree_util.tree_map(lambda g: g[owner], gathered)
+    return out

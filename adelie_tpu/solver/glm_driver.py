@@ -266,9 +266,10 @@ class GlmNaiveDriver:
             jnp.asarray(bool(s.early_exit)),
             jnp.asarray(self._prev_dev, dtype),
             jnp.asarray(self._have_prev_dev),
+            jnp.asarray(configs.chunk_sweep_budget, jnp.int32),
         )
         (beta_f, active_f, eta_f, resid_f, b0_f, abs_grad_f, stopped_f,
-         prev_dev_f, have_prev_f) = carry
+         prev_dev_f, have_prev_f, early_seen_f) = carry
         (betas_e, b0s_e, accepts_e, kkts_e, fitok_e, pinok_e, devs_e,
          losses_e, processed_e, irls_e) = emits
 
@@ -329,9 +330,7 @@ class GlmNaiveDriver:
                 raise MaxCDsError()
             raise SolverError("Maximum IRLS iterations reached.")
 
-        early_stopped = bool(
-            n_proc and bool(stopped_h) and bool(accepts_np[n_proc - 1])
-        )
+        early_stopped = bool(jax.device_get(early_seen_f))
         s.benchmark["fit_screen"].append(sw.elapsed())
         return n_acc, early_stopped
 

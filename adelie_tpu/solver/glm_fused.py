@@ -181,16 +181,17 @@ def build_glm_chunk_step(glm, X, intercept: bool, num_groups: int, qmax: int,
         dbeta_tol, newton_tol, newton_max_iters, max_iters,
         loss_null, loss_full, adev_tol, ddev_tol, early_exit_on,
         prev_dev, have_prev_dev,
+        sweep_budget,
     ):
         def per_lambda(carry, inp):
             (beta, active, eta, resid, b0, abs_grad_c, stopped, prev_dev,
-             have_prev) = carry
+             have_prev, cum_irls, early_seen) = carry
             lmda, is_valid = inp
             run_it = is_valid & (~stopped)
 
             def run(args):
                 (beta, active, eta, resid, b0, abs_grad_c, stopped,
-                 prev_dev, have_prev) = args
+                 prev_dev, have_prev, cum_irls, early_seen) = args
                 (beta_n, active_n, eta_n, resid_n, b0_n, irls_iters,
                  converged, pin_ok) = irls_fit(
                     Xs, slot_begin, slot_size, penalty_slots,
@@ -211,17 +212,20 @@ def build_glm_chunk_step(glm, X, intercept: bool, num_groups: int, qmax: int,
                     (dev >= adev_tol)
                     | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
                 )
-                stopped_n = (~accept) | early
+                # cooperative watchdog guard (configs.chunk_sweep_budget)
+                cum_n = cum_irls + irls_iters
+                stopped_n = (~accept) | early | (cum_n >= sweep_budget)
 
                 # failed lambdas do not advance the iterate (rollback)
                 def commit(_):
                     return (beta_n, active_n, eta_n, resid_n, b0_n, abs_grad,
                             stopped_n, jnp.where(accept, dev, prev_dev),
-                            have_prev | accept)
+                            have_prev | accept, cum_n, early_seen | early)
 
                 def keep(_):
                     return (beta, active, eta, resid, b0, abs_grad,
-                            jnp.ones((), bool), prev_dev, have_prev)
+                            jnp.ones((), bool), prev_dev, have_prev, cum_n,
+                            early_seen)
 
                 carry_n = jax.lax.cond(fit_ok, commit, keep, None)
                 emit = (beta_n, b0_n, accept, kkt, fit_ok, pin_ok, dev,
@@ -241,9 +245,11 @@ def build_glm_chunk_step(glm, X, intercept: bool, num_groups: int, qmax: int,
 
         init = (beta0, active0, eta0, resid0, b0_init,
                 jnp.zeros((num_groups,), dtype), jnp.zeros((), bool),
-                prev_dev, have_prev_dev)
+                prev_dev, have_prev_dev, jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
         carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
-        return carry, emits
+        # expose the leading 9 fields + early_seen (cum sweeps internal)
+        return carry[:9] + (carry[10],), emits
 
     return chunk_step
 

@@ -138,6 +138,85 @@ def _kernel_rooflines():
     return out
 
 
+def _gwas_bench():
+    """Single-chip max-scale GWAS workload: group lasso path over a
+    p=200k-SNP x n=50k-sample 2-bit packed matrix (2.5 GB packed = the
+    equivalent of a 40 GB f32 dense matrix) with BASIL screening +
+    the fused Pallas decode-matmul.  The BASELINE.json north star
+    (1M x 100k) needs >= 2 chips for HBM; this is the largest
+    single-chip point on that scaling line."""
+    import jax
+    import jax.numpy as jnp
+
+    import adelie_tpu as ad
+    from adelie_tpu.matrix._snp import unpack_2bit_np
+
+    n, p = 50_000, 200_000
+    nb = (n + 3) // 4
+    rng = np.random.default_rng(7)
+    # ~86% zeros, 10% ones, 4% twos per byte-lane (no NA for speed of
+    # synthesis); realistic allele-frequency-ish mix.  Bytes are sampled
+    # via quantile-mapping a uniform byte stream through a 256-entry LUT
+    # of the 4-lane product distribution (2.5 GB synthesized in seconds).
+    probs = np.array([0.86, 0.10, 0.04])
+    codes = np.arange(256)
+    lane_codes = np.stack([(codes >> (2 * k)) & 3 for k in range(4)], axis=1)
+    valid = np.all(lane_codes <= 2, axis=1)
+    byte_p = np.where(valid, np.prod(probs[np.minimum(lane_codes, 2)], axis=1), 0.0)
+    byte_p /= byte_p.sum()
+    cdf = np.cumsum(byte_p)
+    lut = np.searchsorted(cdf, (np.arange(256) + 0.5) / 256).astype(np.uint8)
+    packed = lut[rng.integers(0, 256, size=(p, nb), dtype=np.uint64).astype(np.uint8)]
+
+    class IO:
+        impute = np.zeros(p)
+
+        def _ensure(self):
+            pass
+
+        def rows(self):
+            return n
+
+        def snps(self):
+            return p
+
+    IO.packed = packed
+    io = IO()
+
+    # sparse true signal from decoded columns
+    k = 40
+    sig = rng.choice(p, k, replace=False)
+    cols = unpack_2bit_np(packed[sig], n).astype(np.float32)
+    beta = rng.standard_normal(k).astype(np.float32)
+    y = cols.T @ beta + 0.5 * rng.standard_normal(n).astype(np.float32)
+
+    Xm = ad.matrix.snp_unphased(io, dtype=np.float32)
+    glm = ad.glm.gaussian(y, dtype=np.float32)
+    kw = dict(lmda_path_size=50, min_ratio=5e-2, progress_bar=False)
+
+    t0 = time.perf_counter()
+    st = ad.grpnet(Xm, glm, **kw)
+    cold = time.perf_counter() - t0
+    assert st.error == "", st.error
+    t0 = time.perf_counter()
+    st = ad.grpnet(Xm, glm, **kw)
+    warm = time.perf_counter() - t0
+    assert st.error == "", st.error
+    B = st.betas
+    devs = np.asarray(st.devs)
+    assert np.isfinite(devs).all() and devs[-1] > 0.1
+    updates = int(np.sum(st.benchmark.get("cd_updates", [])))
+    return {
+        "n": n, "p": p, "packed_gb": round(p * nb / 1e9, 2),
+        "lambdas": len(st.lmdas),
+        "max_screen": int(max(st.screen_sizes)),
+        "nnz_final": int(B[-1].nnz),
+        "dev_final": round(float(devs[-1]), 3),
+        "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+        "iters_per_s": round(updates / warm, 1),
+    }
+
+
 def main():
     import jax
 
@@ -230,6 +309,11 @@ def main():
     Bc = np.asarray(stc.betas.todense())
     assert np.all(np.abs(Bc) <= 0.2 + 1e-3)
 
+    try:
+        gwas = _gwas_bench() if jax.default_backend() == "tpu" else None
+    except Exception as exc:
+        gwas = {"error": str(exc)[:200]}
+
     print(json.dumps({
         "metric": (
             f"gaussian lasso full-path fit n={n} p={p} ({n_sols} lambdas), "
@@ -244,6 +328,7 @@ def main():
         "bcd_updates": bcd_updates,
         "device": str(jax.devices()[0].device_kind),
         "constrained_logistic_s": round(cons_time, 3),
+        "gwas_snp_path": gwas,
         "kernels": kernels,
     }))
 

@@ -190,3 +190,57 @@ def test_cv_fold_batch_composes_with_mesh():
     res2 = ad.cv_grpnet(Xm, ad.glm.gaussian(y), n_folds=4, seed=1,
                         lmda_path_size=15, tol=1e-11)
     np.testing.assert_allclose(res1.losses, res2.losses, rtol=1e-6, atol=1e-9)
+
+
+def test_scenario_shard_and_map():
+    """Scenario batching across hosts (SURVEY §2.12 path/fold batching):
+    round-robin striping + single-process map semantics."""
+    from adelie_tpu import parallel
+
+    # simulated 3-process grid
+    idx0 = parallel.scenario_shard(8, n_shards=3, shard_index=0)
+    idx1 = parallel.scenario_shard(8, n_shards=3, shard_index=1)
+    idx2 = parallel.scenario_shard(8, n_shards=3, shard_index=2)
+    assert idx0 == [0, 3, 6] and idx1 == [1, 4, 7] and idx2 == [2, 5]
+    assert sorted(idx0 + idx1 + idx2) == list(range(8))
+
+    # single-process map runs everything
+    out = parallel.scenario_map(lambda s: s * s, [1, 2, 3, 4])
+    assert out == [1, 4, 9, 16]
+
+    # a simulated shard only computes its stripe
+    out1 = parallel.scenario_map(lambda s: s * s, [1, 2, 3, 4],
+                                 n_shards=2, shard_index=1, gather=False)
+    assert out1 == [None, 4, None, 16]
+
+    # distributed_init is a no-op single-process and reports the grid
+    pid, nproc = parallel.distributed_init()
+    assert pid == 0 and nproc == 1
+
+
+def test_scenario_map_cv_folds():
+    """Striping cv folds across simulated hosts reproduces the full CV."""
+    import adelie_tpu as ad
+    from adelie_tpu import parallel
+
+    rng = np.random.default_rng(4)
+    n, p = 200, 20
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - X[:, 1] + 0.2 * rng.standard_normal(n)
+
+    res = ad.cv_grpnet(X, ad.glm.gaussian(y), n_folds=4, seed=0,
+                       lmda_path_size=10, fold_batch=False)
+
+    # each "host" computes a stripe of folds via the same zero-weight rule
+    from adelie_tpu.cv import _common_path, _cv_serial, _fold_assignments
+
+    val_sets = _fold_assignments(n, 4, 0)
+    lmdas = res.lmdas
+    losses = np.zeros((4, len(lmdas)))
+    for shard in range(2):
+        for k in parallel.scenario_shard(4, n_shards=2, shard_index=shard):
+            losses[k] = _cv_serial(
+                X, ad.glm.gaussian(y), np.asarray(ad.glm.gaussian(y).weights),
+                [val_sets[k]], lmdas, False, 1, {},
+            )[0]
+    np.testing.assert_allclose(losses, res.losses, atol=1e-9)
