@@ -93,9 +93,11 @@ class ConstraintPack:
         ss = state.screen_set
         G_cap, qmax = cache.G_cap, cache.qmax
         dtype = state.dtype
+        # size dual buffers by ALL constrained groups (not just screened)
+        # so they stay stable across screen growth and line up with the
+        # all-group KKT buffers (rebuild_all)
         mmax = 1
-        for g in ss:
-            c = self.constraints[g]
+        for c in self.constraints:
             if c is not None:
                 mmax = max(mmax, c.duals())
         # round up mmax a little to bound recompiles
@@ -139,6 +141,54 @@ class ConstraintPack:
         self.P, self.DH, self.UH = prep_constraint_buffers(
             self.A_pad, cache.eigvecs, cache.eigvals,
             jnp.asarray(self.rho, dtype),
+        )
+
+    def rebuild_all(self, state):
+        """Buffers over ALL constrained groups (screened or not) for the
+        on-device dual-corrected KKT check (reference
+        solver_base.hpp:21-110: screened groups subtract A'mu, non-screen
+        groups run solve_zero).  Screen-independent except the slot map."""
+        dtype = state.dtype
+        cons_gids = np.asarray(
+            [g for g, c in enumerate(self.constraints) if c is not None],
+            np.int32,
+        )
+        n_cons = len(cons_gids)
+        # rebuild() (called first) sizes mmax over all constrained groups
+        mc = max(self.mmax,
+                 max([self.constraints[g].duals() for g in cons_gids] or [1]))
+        qc = max([int(state.group_sizes[g]) for g in cons_gids] or [1])
+        mx = min(configs.max_solver_value, float(np.finfo(dtype).max) * 0.5)
+        A_all = np.zeros((n_cons, mc, qc), dtype)
+        lo_all = np.full((n_cons, mc), -mx, dtype)
+        hi_all = np.full((n_cons, mc), mx, dtype)
+        for i, g in enumerate(cons_gids):
+            c = self.constraints[g]
+            m, d = c.duals(), c.primals()
+            A_all[i, :m, :d] = np.asarray(c.A_dense(), dtype)
+            lo, hi = c.zbounds()
+            lo_all[i, :m] = np.clip(np.asarray(lo, np.float64), -mx, mx)
+            hi_all[i, :m] = np.clip(np.asarray(hi, np.float64), -mx, mx)
+        self.cons_gids = cons_gids
+        self.cons_mc, self.cons_qc = mc, qc
+        self.cons_A = jnp.asarray(A_all)
+        self.cons_lo = jnp.asarray(lo_all)
+        self.cons_hi = jnp.asarray(hi_all)
+        self.cons_start = jnp.asarray(
+            np.asarray(state.groups, np.int32)[cons_gids]
+        )
+        self.cons_size = jnp.asarray(
+            np.asarray(state.group_sizes, np.int32)[cons_gids]
+        )
+        self.cons_big = jnp.asarray(mx, dtype)
+
+    def slot_map(self, state):
+        """(n_cons,) screen-slot index per constrained group, -1 if the
+        group is not screened (updates per screen-set change)."""
+        pos = {int(g): i for i, g in enumerate(state.screen_set)}
+        return jnp.asarray(
+            np.asarray([pos.get(int(g), -1) for g in self.cons_gids],
+                       np.int32)
         )
 
     def store_mu(self, state, mu_dev):
@@ -185,7 +235,7 @@ def constrained_abs_grad(state, pack, lmda):
 
 
 def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
-                                 pn_cfg=None):
+                                 pn_cfg=None, exact_kkt: bool = False):
     """Chunked (lax.scan over lambdas) constrained gaussian step.
 
     Same shape as fused.build_gaussian_chunk_step but the pin solve is the
@@ -220,6 +270,10 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
         alpha, tol, dbeta_tol, newton_tol,
         newton_max_iters, max_iters, rsq0,
         y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
+        # on-device dual-corrected KKT (exact_kkt only)
+        penalty_groups, is_screen_mask,
+        cons_gids, cons_A, cons_lo, cons_hi, cons_start, cons_size,
+        cons_slot, cons_big, nnls_tol, nnls_max_iters,
     ):
         dtype = beta0.dtype
 
@@ -257,8 +311,7 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
                 if intercept:
                     grad = grad - resid_sum * X_means
 
-                # unconstrained-form abs_grad; the host applies the dual
-                # correction once per chunk (constrained_abs_grad)
+                # unconstrained-form abs_grad ...
                 ok = cols_padded >= 0
                 safe = jnp.where(ok, cols_padded, 0)
                 beta_cols = jnp.zeros_like(grad).at[safe].set(
@@ -271,7 +324,48 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
                 )
                 abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
 
-                accept = done
+                if exact_kkt:
+                    # ... corrected ON DEVICE for constrained groups so the
+                    # KKT verdict is exact outside the screen-all regime
+                    # (reference update_abs_grad, solver_base.hpp:21-110)
+                    from ..constraint._pn import _min_mu_resid
+
+                    qc = cons_A.shape[2]
+
+                    def one(Ac, lo_c, hi_c, cstart, csize, slot):
+                        cmask = jnp.arange(qc) < csize
+                        g_sl = jnp.where(
+                            cmask,
+                            jax.lax.dynamic_slice(gadj, (cstart,), (qc,)),
+                            0.0,
+                        )
+
+                        def screened(_):
+                            mu_g = mu_n[slot]
+                            corr = g_sl - Ac.T @ mu_g
+                            return jnp.sqrt(jnp.sum(corr * corr))
+
+                        def unscreened(_):
+                            _, rsq_z = _min_mu_resid(
+                                Ac, g_sl, jnp.zeros(Ac.shape[0], dtype),
+                                lo_c, hi_c, cons_big, nnls_tol,
+                                nnls_max_iters,
+                            )
+                            return jnp.sqrt(jnp.maximum(rsq_z, 0.0))
+
+                        return jax.lax.cond(slot >= 0, screened, unscreened,
+                                            None)
+
+                    corr_vals = jax.vmap(one)(
+                        cons_A, cons_lo, cons_hi, cons_start, cons_size,
+                        cons_slot,
+                    )
+                    abs_grad = abs_grad.at[cons_gids].set(corr_vals)
+                    viol = abs_grad > lmda * alpha * penalty_groups
+                    kkt = ~jnp.any(viol & ~is_screen_mask)
+                    accept = done & kkt
+                else:
+                    accept = done
                 dev = jnp.where(y_var > 0, rsq_n / y_var, 0.0)
                 early = early_exit_on & accept & (
                     (dev >= adev_tol)
@@ -313,15 +407,17 @@ _CONS_CHUNK_CACHE = {}
 
 
 def get_constrained_chunk_step(X, intercept: bool, num_groups: int,
-                               pn_cfg=None):
+                               pn_cfg=None, exact_kkt: bool = False):
     try:
-        key = (X.structure_key(), bool(intercept), int(num_groups), pn_cfg)
+        key = (X.structure_key(), bool(intercept), int(num_groups), pn_cfg,
+               bool(exact_kkt))
     except Exception:
-        return build_constrained_chunk_step(X, intercept, num_groups, pn_cfg)
+        return build_constrained_chunk_step(X, intercept, num_groups, pn_cfg,
+                                            exact_kkt)
     hit = _CONS_CHUNK_CACHE.get(key)
     if hit is None:
         hit = _CONS_CHUNK_CACHE[key] = build_constrained_chunk_step(
-            X, intercept, num_groups, pn_cfg
+            X, intercept, num_groups, pn_cfg, exact_kkt
         )
     return hit
 
@@ -342,6 +438,20 @@ class ConstrainedGaussianDriver:
         self._X_data = state.X.mul_spec()[1]
         self._prev_dev = 0.0
         self._have_prev_dev = False
+        self._penalty_groups_dev = jnp.asarray(
+            state.penalty.astype(state.dtype)
+        )
+        self._screen_mask_version = -1
+        self._screen_mask_cache = None
+
+    def _screen_mask_dev(self):
+        s = self.s
+        if self._screen_mask_version != s._screen_version:
+            m = np.zeros(len(s.groups), bool)
+            m[s.screen_set] = True
+            self._screen_mask_cache = jnp.asarray(m)
+            self._screen_mask_version = s._screen_version
+        return self._screen_mask_cache
 
     def large_lmda(self):
         from ..utils import large_lmda
@@ -360,6 +470,9 @@ class ConstrainedGaussianDriver:
         if self.pack.version != cache.version:
             self.pack.rebuild(s, cache)
             self.pack.prep(cache, s.dtype)
+            if not hasattr(self.pack, "cons_gids"):
+                self.pack.rebuild_all(s)
+            self.pack.cons_slot = self.pack.slot_map(s)
         return cache
 
     def fit(self, lmda):
@@ -500,6 +613,11 @@ class ConstrainedGaussianDriver:
             jnp.asarray(bool(s.early_exit)),
             jnp.asarray(self._prev_dev, dtype),
             jnp.asarray(self._have_prev_dev),
+            self._penalty_groups_dev, self._screen_mask_dev(),
+            jnp.asarray(pk.cons_gids), pk.cons_A, pk.cons_lo, pk.cons_hi,
+            pk.cons_start, pk.cons_size, pk.cons_slot, pk.cons_big,
+            jnp.asarray(max(pk.pn_nnls_tol, 1e-9), dtype),
+            jnp.asarray(min(pk.pn_nnls_max_iters, 10000), jnp.int32),
         )
         (beta_f, active_f, resid_f, rsq_f, mu_f, grad_f, abs_grad_f,
          stopped_f, prev_dev_f, have_prev_f) = carry
@@ -570,24 +688,21 @@ class ConstrainedGaussianDriver:
         return n_acc, early_stopped
 
     def solve_path(self, progress_bar=False, exit_cond=None):
-        """Chunked constrained path when every group is screened; falls
-        back to the per-lambda BASIL loop otherwise."""
+        """Chunked constrained path.  Screen-all problems skip screening
+        entirely; otherwise the BASIL loop runs with the dual-corrected
+        KKT verdict computed ON DEVICE inside the chunk scan
+        (exact_kkt; VERDICT r1 #6)."""
         s = self.s
-        if len(s.screen_set) != len(s.groups):
-            from .basil import solve_core
+        from .basil import compute_lmda_max, compute_lmda_path, screen
 
-            return solve_core(s, self, progress_bar=progress_bar,
-                              exit_cond=exit_cond)
-
-        from .basil import compute_lmda_max, compute_lmda_path
-
+        self._exact_kkt = len(s.screen_set) != len(s.groups)
         pk = self.pack
         pn_cfg = None if pk.method != "proximal_newton" else (
             pk.pn_slack, pk.pn_nnls_tol, pk.pn_nnls_max_iters,
             pk.pn_pinball_tol, pk.pn_pinball_max_iters,
         )
         self._chunk_step = get_constrained_chunk_step(
-            s.X, s.intercept, len(s.groups), pn_cfg
+            s.X, s.intercept, len(s.groups), pn_cfg, self._exact_kkt
         )
         sw = Stopwatch().start()
         if exit_cond is not None:
@@ -630,11 +745,29 @@ class ConstrainedGaussianDriver:
             self._run_chunk([s.lmda_max], record=False)
 
         idx = large_count
+        kkt_passed = True
+        n_new_active = 0
+        current_active = int(np.sum(s.screen_is_active))
         while idx < len(path):
             C = min(int(s.lmda_chunk), len(path) - idx)
             chunk = path[idx:idx + C]
+            if self._exact_kkt:
+                # BASIL screening loop with the dual-corrected KKT verdict
+                # evaluated on device inside the chunk scan
+                lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
+                screen(s, chunk[-1], kkt_passed, n_new_active,
+                       lmda_prev=lmda_prev, lmda_fallback=chunk[0],
+                       chunk_size=C)
             n_acc, early = self._run_chunk(chunk, record=True)
-            idx += n_acc if n_acc else C
+            if self._exact_kkt:
+                idx += n_acc
+                kkt_passed = n_acc == C
+                if n_acc:
+                    new_active = int(np.sum(s.screen_is_active))
+                    n_new_active = new_active - current_active
+                    current_active = new_active
+            else:
+                idx += n_acc if n_acc else C
             if pbar is not None and n_acc:
                 pbar.update(n_acc)
                 if len(s.devs):

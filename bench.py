@@ -30,9 +30,12 @@ import time
 import numpy as np
 
 # v5e (TPU v5 lite) per-chip peaks; fall back to these when the device
-# kind is unrecognized (the roofline percentages are then approximate)
+# kind is unrecognized (the roofline percentages are then approximate).
+# f32 matmuls at HIGHEST precision decompose into bf16 passes; measured
+# throughput (~47 TFLOP/s) shows the effective ceiling is the 3-pass
+# rate, not the 6-pass worst case.
 HBM_PEAK_GBPS = 819.0
-MXU_F32_HIGHEST_TFLOPS = 197.0 / 6.0   # bf16 peak / 6-pass f32 decomposition
+MXU_F32_HIGHEST_TFLOPS = 197.0 / 3.0
 
 
 def _objective(X, y, beta, lmda):

@@ -318,3 +318,42 @@ def test_grpnet_constrained_methods_agree(method):
         np.testing.assert_allclose(
             B, test_grpnet_constrained_methods_agree._ref, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("method", ["proximal_newton", "admm"])
+def test_constrained_basil_chunked_matches_screen_all(method):
+    """Outside the screen-all regime, the constrained gaussian path runs
+    lambda-CHUNKED with the dual-corrected KKT verdict computed on device
+    (screened groups subtract A'mu; non-screen groups run solve_zero in
+    the scan) — VERDICT r1 #6.  Must match the screen-all solution and
+    actually exercise screening."""
+    import adelie_tpu.constraint as ct
+    from adelie_tpu.configs import set_configs
+
+    rng = np.random.default_rng(3)
+    n, p, q = 300, 60, 3
+    X = rng.standard_normal((n, p))
+    y = X[:, :6] @ rng.standard_normal(6) + 0.2 * rng.standard_normal(n)
+    groups = np.arange(0, p, q)
+
+    def mk():
+        return [ct.box(np.full(q, -0.15), np.full(q, 0.15), method=method)
+                for _ in groups]
+
+    kw = dict(groups=groups, lmda_path_size=10, min_ratio=0.1,
+              progress_bar=False, early_exit=False, tol=1e-11)
+    st_all = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(), **kw)
+    assert st_all.error == "", st_all.error
+
+    set_configs("screen_all_max", 0)
+    try:
+        st_b = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(), **kw)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_b.error == "", st_b.error
+    assert st_b.screen_sizes[0] < len(groups)  # screening actually ran
+    B_b = np.asarray(st_b.betas.todense())
+    np.testing.assert_allclose(
+        B_b, np.asarray(st_all.betas.todense()), atol=2e-5
+    )
+    assert np.all(np.abs(B_b) <= 0.15 + 1e-5)
