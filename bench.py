@@ -50,19 +50,23 @@ def _force(out):
     np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
 
 
-def _timeit(fn, reps=10):
+def _timeit(fn, reps=20, rounds=3):
     """Per-call device time amortizing the tunnel RTT (see
-    benchmark/bench_kernels.py)."""
+    benchmark/bench_kernels.py).  Best of ``rounds`` measurement rounds —
+    the tunnel adds large run-to-run noise to sub-ms kernels."""
     out = fn()
     _force(out)
     t0 = time.perf_counter()
     _force(fn())
     rtt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    _force(out)
-    return max((time.perf_counter() - t0 - rtt) / reps, 1e-9)
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        _force(out)
+        best = min(best, (time.perf_counter() - t0 - rtt) / reps)
+    return max(best, 1e-9)
 
 
 def _kernel_rooflines():

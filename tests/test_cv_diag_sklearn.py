@@ -260,3 +260,29 @@ def test_cv_glm_serial_exact_grid():
     # refit at the best lambda works
     st = res.fit(X, ad.glm.binomial(y), lmda_path_size=12)
     assert st.error == ""
+
+
+def test_cv_multinomial_and_cox():
+    """CV over multinomial and cox GLMs (BASELINE config #5) through the
+    exact-common-grid serial fold path."""
+    rng = np.random.default_rng(0)
+    n, p, K = 120, 8, 3
+    X = rng.standard_normal((n, p))
+    eta = X[:, :2] @ rng.standard_normal((2, K))
+    pr = np.exp(eta) / np.exp(eta).sum(1, keepdims=True)
+    Y = np.zeros((n, K))
+    for i in range(n):
+        Y[i, rng.choice(K, p=pr[i])] = 1.0
+
+    res = ad.cv_grpnet(X, ad.glm.multinomial(Y), n_folds=3, seed=0,
+                       lmda_path_size=8)
+    assert res.losses.shape == (3, 8)
+    assert np.isfinite(res.losses).all()
+    st = res.fit(X, ad.glm.multinomial(Y))
+    assert st.error == ""
+
+    d = ad.data.dense(100, 10, 10, glm="cox", seed=1)
+    res2 = ad.cv_grpnet(d["X"], d["glm"], n_folds=3, seed=0,
+                        lmda_path_size=6)
+    assert res2.losses.shape == (3, 6)
+    assert np.isfinite(res2.losses).all()
