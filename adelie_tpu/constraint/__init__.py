@@ -260,22 +260,28 @@ class ConstraintBase:
         hi = np.clip(np.asarray(hi, np.float64), -big, big)
 
         if self.method == "proximal_newton":
-            from ._pn import pn_block_solve
-            import functools
+            # build + jit once per constraint object (knobs are fixed);
+            # a fresh jax.jit per call would defeat the dispatch cache and
+            # re-trace the PN program on every block solve
+            pn_jit = getattr(self, "_pn_jit", None)
+            if pn_jit is None:
+                import functools
 
-            pn = functools.partial(
-                pn_block_solve,
-                tol=self.tol if self.tol > 0 else 1e-9,
-                slack=self.slack,
-                max_iters=self.max_iters,
-                nnls_tol=self.nnls_tol,
-                nnls_max_iters=self.nnls_max_iters,
-                pinball_tol=self.pinball_tol,
-                pinball_max_iters=self.pinball_max_iters,
-                newton_tol=self.newton_tol,
-                newton_max_iters=self.newton_max_iters,
-            )
-            x_new, mu = jax.jit(pn)(
+                from ._pn import pn_block_solve
+
+                pn_jit = self._pn_jit = jax.jit(functools.partial(
+                    pn_block_solve,
+                    tol=self.tol if self.tol > 0 else 1e-9,
+                    slack=self.slack,
+                    max_iters=self.max_iters,
+                    nnls_tol=self.nnls_tol,
+                    nnls_max_iters=self.nnls_max_iters,
+                    pinball_tol=self.pinball_tol,
+                    pinball_max_iters=self.pinball_max_iters,
+                    newton_tol=self.newton_tol,
+                    newton_max_iters=self.newton_max_iters,
+                ))
+            x_new, mu = pn_jit(
                 jnp.asarray(P), jnp.asarray(quad), jnp.asarray(Q),
                 jnp.asarray(linear, dtype),
                 jnp.asarray(l1, dtype), jnp.asarray(l2, dtype),

@@ -72,7 +72,8 @@ class CVGrpnetResult:
         for k in ("n_folds", "seed", "early_exit", "lmda_path", "fold_batch"):
             grpnet_params.pop(k, None)
         with _quiet_logger():
-            state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
+            state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False,
+                           **_structural(grpnet_params))
 
         lmda_path_size = grpnet_params.pop("lmda_path_size", 100)
         lmda_star = self.lmdas[self.best_idx]
@@ -111,20 +112,42 @@ def _fold_assignments(n, n_folds, seed):
     return [order[bounds[k]:bounds[k + 1]] for k in range(n_folds)]
 
 
-def _common_path(X, glm, min_ratio, lmda_path_size):
-    """Full-data lambda_max -> log-spaced common grid."""
-    state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False)
-    return state.lmda_max * np.logspace(0, np.log10(min_ratio), lmda_path_size)
+# grpnet kwargs that change the problem STRUCTURE and therefore lmda_max;
+# the dry runs computing the common grid must honor them
+_STRUCTURAL_KEYS = ("groups", "alpha", "penalty", "offsets", "intercept",
+                    "constraints")
+
+
+def _structural(grpnet_params):
+    return {k: grpnet_params[k] for k in _STRUCTURAL_KEYS
+            if k in grpnet_params}
+
+
+def _common_path(X, glm, min_ratio, lmda_path_size, grpnet_params):
+    """Full-data lambda_max -> log-spaced common grid (honoring the
+    structure-affecting kwargs: alpha halves/doubles lmda_max, groups and
+    penalty reweight it).  Returns (lmdas, dry_state)."""
+    state = grpnet(X=X, glm=glm, lmda_path_size=0, progress_bar=False,
+                   **_structural(grpnet_params))
+    lmdas = state.lmda_max * np.logspace(0, np.log10(min_ratio),
+                                         lmda_path_size)
+    return lmdas, state
+
+
+_SEPARABLE_GLMS = ("binomial_logit", "binomial_probit", "poisson")
 
 
 def _can_batch(X, glm, grpnet_params):
-    if glm.name != "gaussian" or not getattr(glm, "opt", False):
-        return False
+    """Fold batching: the gaussian fast path, or a separable single-
+    response GLM (weights enter only elementwise, so the fold axis vmaps
+    through the fused IRLS).  Cox/multi/constrained fall back to serial."""
     if getattr(glm, "is_multi", False):
         return False
     if grpnet_params.get("constraints") is not None:
         return False
-    return True
+    if glm.name == "gaussian" and getattr(glm, "opt", False):
+        return True
+    return glm.name in _SEPARABLE_GLMS
 
 
 def cv_grpnet(
@@ -154,19 +177,26 @@ def cv_grpnet(
     base_weights = np.asarray(glm.weights)
 
     with _quiet_logger():
-        full_lmdas = _common_path(X, glm, min_ratio, lmda_path_size)
+        full_lmdas, dry_state = _common_path(X, glm, min_ratio,
+                                             lmda_path_size, grpnet_params)
 
         use_batch = _can_batch(X, glm, grpnet_params) if fold_batch is None \
             else bool(fold_batch)
         if use_batch and not _can_batch(X, glm, grpnet_params):
             raise ValueError(
-                "fold_batch=True requires the gaussian fast path without "
-                "constraints or multi-response."
+                "fold_batch=True requires the gaussian fast path or a "
+                "separable GLM (binomial/poisson) without constraints or "
+                "multi-response."
             )
-        if use_batch:
+        if use_batch and glm.name == "gaussian":
             cv_losses = _cv_batched(
                 X, glm, base_weights, val_sets, full_lmdas,
                 grpnet_params,
+            )
+        elif use_batch:
+            cv_losses = _cv_batched_glm(
+                X, glm, base_weights, val_sets, full_lmdas,
+                grpnet_params, dry_state,
             )
         else:
             cv_losses = _cv_serial(
@@ -258,6 +288,75 @@ def _cv_batched(X, glm, base_weights, val_sets, full_lmdas, grpnet_params):
         w_train_sums, w_val_sums, state,
     )
     return driver.solve(full_lmdas)  # (K, L)
+
+
+def _cv_batched_glm(X, glm, base_weights, val_sets, full_lmdas,
+                    grpnet_params, dry_state):
+    """All folds of a separable GLM in one fold-batched IRLS program."""
+    from .configs import configs as _cfg
+    from .solver import _as_matrix
+    from .solver.cv_batched import BatchedCVGlmDriver
+    from .solver.state_core import NaiveStateBase
+
+    X = _as_matrix(X)
+    dtype = np.dtype(X.dtype)
+    n, p = X.rows(), X.cols()
+    K = len(val_sets)
+
+    w_folds = np.empty((K, n))
+    w_train_sums = np.empty(K)
+    w_val_sums = np.empty(K)
+    for k, vidx in enumerate(val_sets):
+        w_folds[k], w_train_sums[k], w_val_sums[k] = _fold_weights(
+            base_weights, vidx
+        )
+
+    groups = grpnet_params.get("groups")
+    if groups is None:
+        groups = np.arange(p, dtype=int)
+    groups = np.asarray(groups, int)
+    group_sizes = np.diff(np.concatenate([groups, [p]])).astype(int)
+    G = len(groups)
+    penalty = grpnet_params.get("penalty")
+    if penalty is None:
+        penalty = np.sqrt(group_sizes).astype(float)
+    alpha = float(grpnet_params.get("alpha", 1.0))
+    intercept = bool(grpnet_params.get("intercept", True))
+
+    state = NaiveStateBase(
+        X=X, groups=groups, group_sizes=group_sizes, alpha=alpha,
+        penalty=np.asarray(penalty, float), intercept=intercept,
+        dtype=dtype, n=n, p=p,
+        tol=float(grpnet_params.get("tol", 1e-7)),
+        max_iters=int(grpnet_params.get("max_iters", int(1e5))),
+        newton_tol=float(grpnet_params.get("newton_tol", 1e-12)),
+        newton_max_iters=int(grpnet_params.get("newton_max_iters", 1000)),
+        screen_rule=grpnet_params.get("screen_rule", "pivot"),
+        pivot_subset_ratio=float(grpnet_params.get("pivot_subset_ratio", 0.1)),
+        pivot_subset_min=int(grpnet_params.get("pivot_subset_min", 1)),
+        pivot_slack_ratio=float(grpnet_params.get("pivot_slack_ratio", 1.25)),
+        max_screen_size=grpnet_params.get("max_screen_size"),
+        max_active_size=grpnet_params.get("max_active_size"),
+        screen_set=np.zeros(0, int), screen_begins=np.zeros(0, int),
+        screen_beta=np.zeros(0, dtype), screen_is_active=np.zeros(0, bool),
+    )
+    if p + int(group_sizes.max()) <= _cfg.screen_all_max:
+        seed_groups = np.arange(G)
+    else:
+        seed_groups = np.arange(G)[(state.penalty <= 0) | (alpha <= 0)]
+    state.extend_screen_set(seed_groups)
+    state.screen_is_active = (state.penalty[state.screen_set] <= 0) | (alpha <= 0)
+
+    offsets = grpnet_params.get("offsets")
+    offsets = np.zeros(n, dtype) if offsets is None else np.asarray(offsets)
+
+    driver = BatchedCVGlmDriver(
+        X, glm, offsets, base_weights, w_folds, w_train_sums, w_val_sums,
+        state,
+        irls_tol=float(grpnet_params.get("irls_tol", 1e-7)),
+        irls_max_iters=int(grpnet_params.get("irls_max_iters", int(1e4))),
+    )
+    return driver.solve(full_lmdas, float(dry_state.loss_null))
 
 
 def _cv_serial(X, glm, base_weights, val_sets, full_lmdas, early_exit,

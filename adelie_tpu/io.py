@@ -80,7 +80,8 @@ def _get_lib():
         return _LIB
 
 
-_READ_MODES = {"file": 0, "mmap": 1, "auto": 0}
+# reference io_snp_base.hpp:130-134: "auto" resolves to mmap
+_READ_MODES = {"file": 0, "mmap": 1, "auto": 1}
 
 
 def _lib_for(read_mode):

@@ -140,31 +140,57 @@ def scenario_map(fn, scenarios, *, n_shards=None, shard_index=None,
 
     Returns a list aligned with ``scenarios``; entries this process did
     not compute are ``None`` unless ``gather=True`` (default) and the
-    results are numeric pytrees, in which case every process receives all
-    results via a DCN all-gather (``multihost_utils.process_allgather``).
-    Single-process: a plain map.
+    results are numeric pytrees with matching shapes across scenarios, in
+    which case every process receives all results via ONE stacked DCN
+    all-gather (``multihost_utils.process_allgather``).  Single-process
+    (or when ``n_shards``/``shard_index`` simulate a grid): a plain map
+    of the local stripe.
     """
     import jax
 
-    idxs = scenario_shard(len(scenarios), n_shards=n_shards,
-                          shard_index=shard_index)
+    n = len(scenarios)
+    simulated = n_shards is not None or shard_index is not None
+    idxs = scenario_shard(n, n_shards=n_shards, shard_index=shard_index)
     local = {i: fn(scenarios[i]) for i in idxs}
-    n_proc = jax.process_count() if n_shards is None else n_shards
+    n_proc = jax.process_count() if n_shards is None else int(n_shards)
     if n_proc == 1:
-        return [local[i] for i in range(len(scenarios))]
-    out = [local.get(i) for i in range(len(scenarios))]
-    if not gather or jax.process_count() == 1:
+        return [local[i] for i in range(n)]
+    out = [local.get(i) for i in range(n)]
+    if not gather or simulated or jax.process_count() == 1:
+        # a simulated grid has no peers to exchange with
         return out
+
     from jax.experimental import multihost_utils
 
-    # exchange: each process broadcasts its stripe; shapes/dtypes must
-    # match across scenarios for the stacked all-gather
-    for i in range(len(scenarios)):
-        owner = i % jax.process_count()
-        payload = out[i] if owner == jax.process_index() else None
-        template = local[next(iter(local))]
-        if payload is None:
-            payload = jax.tree_util.tree_map(np.zeros_like, template)
-        gathered = multihost_utils.process_allgather(payload)
-        out[i] = jax.tree_util.tree_map(lambda g: g[owner], gathered)
+    # ONE collective: every process stacks its stripe padded to the
+    # common stripe length, all-gather once, then scatter by owner.
+    # A process with an empty stripe still needs the result SHAPE to
+    # participate in the collective: it evaluates scenario 0 redundantly
+    # (cheaper than a second shape-exchange round; only happens when
+    # process_count > n_scenarios).
+    template = local[idxs[0]] if idxs else fn(scenarios[0])
+    max_stripe = -(-n // n_proc)  # ceil
+
+    def stack(leaf_of):
+        rows = []
+        for k in range(max_stripe):
+            i = jax.process_index() + k * n_proc
+            if i < n and i in local:
+                rows.append(np.asarray(leaf_of(local[i])))
+            else:
+                rows.append(np.zeros_like(np.asarray(leaf_of(template))))
+        return np.stack(rows)
+
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    stacked = [
+        stack(lambda r, j=j: jax.tree_util.tree_leaves(r)[j])
+        for j in range(len(leaves))
+    ]
+    gathered = multihost_utils.process_allgather(tuple(stacked))
+    # gathered[j] has shape (n_proc, max_stripe, ...)
+    for i in range(n):
+        owner, k = i % n_proc, i // n_proc
+        out[i] = jax.tree_util.tree_unflatten(
+            treedef, [g[owner, k] for g in gathered]
+        )
     return out

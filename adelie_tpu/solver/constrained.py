@@ -331,12 +331,18 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
                     from ..constraint._pn import _min_mu_resid
 
                     qc = cons_A.shape[2]
+                    # pad so the (qc,) window of a trailing group never
+                    # clamps (dynamic_slice clamps out-of-bounds starts,
+                    # which would silently read the WRONG gradient window)
+                    gadj_pad = jnp.concatenate(
+                        [gadj, jnp.zeros((qc,), dtype)]
+                    )
 
                     def one(Ac, lo_c, hi_c, cstart, csize, slot):
                         cmask = jnp.arange(qc) < csize
                         g_sl = jnp.where(
                             cmask,
-                            jax.lax.dynamic_slice(gadj, (cstart,), (qc,)),
+                            jax.lax.dynamic_slice(gadj_pad, (cstart,), (qc,)),
                             0.0,
                         )
 
@@ -441,17 +447,8 @@ class ConstrainedGaussianDriver:
         self._penalty_groups_dev = jnp.asarray(
             state.penalty.astype(state.dtype)
         )
-        self._screen_mask_version = -1
-        self._screen_mask_cache = None
-
     def _screen_mask_dev(self):
-        s = self.s
-        if self._screen_mask_version != s._screen_version:
-            m = np.zeros(len(s.groups), bool)
-            m[s.screen_set] = True
-            self._screen_mask_cache = jnp.asarray(m)
-            self._screen_mask_version = s._screen_version
-        return self._screen_mask_cache
+        return self.s.screen_mask_dev()
 
     def large_lmda(self):
         from ..utils import large_lmda

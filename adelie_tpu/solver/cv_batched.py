@@ -215,13 +215,7 @@ class BatchedCVGaussianDriver:
         self.lmdas = []
 
     def _screen_mask(self):
-        s = self.s
-        if self._is_screen_version != s._screen_version:
-            m = np.zeros(len(s.groups), bool)
-            m[s.screen_set] = True
-            self._is_screen_dev = jnp.asarray(m)
-            self._is_screen_version = s._screen_version
-        return self._is_screen_dev
+        return self.s.screen_mask_dev()
 
     def _sync_fold_buffers(self, S_val):
         """Grow per-fold beta/active buffers after screen-set extension."""
@@ -349,4 +343,357 @@ class BatchedCVGaussianDriver:
                 n_new_active = new_active - current_active
                 current_active = new_active
         s.total_time = sw.elapsed()
+        return np.asarray(self.losses).T  # (K, L)
+
+
+# --------------------------------------------------------------------------- #
+# fold-batched GLM (IRLS) CV                                                   #
+# --------------------------------------------------------------------------- #
+
+
+def _with_weights(glm, w):
+    """Trace-time view of ``glm`` with its weights swapped for ``w``.
+
+    Every separable GLM (gaussian, binomial logit/probit, poisson) reads
+    weights only through ``self.weights`` in elementwise products, so a
+    shallow copy with a traced weights array yields weight-parameterized
+    jittable ops — the device-side analog of the reference's
+    ``glm.reweight`` (reference glm.py).  Cox is NOT separable (its
+    at-risk machinery depends on weights) and is excluded by the caller.
+    """
+    import copy
+
+    g = copy.copy(glm)
+    g.weights = w
+    return g
+
+
+def build_cv_glm_chunk_step(glm, X, intercept: bool, num_groups: int,
+                            qmax: int, dtype):
+    """Fold-batched IRLS lambda-chunk: lax.scan over lambdas, vmap over
+    folds of the fused IRLS fit (glm_fused.py) with per-fold weights,
+    union screen set, and on-device validation losses."""
+    from ..configs import configs as _cfg
+
+    mul_fn, _ = X.mul_spec()
+    hmin = (
+        _cfg.hessian_min
+        if jnp.dtype(dtype) == jnp.float64
+        else _cfg.hessian_min_f32
+    )
+
+    @jax.jit
+    def chunk_step(
+        X_data,
+        Xs, cols_padded, slot_begin, slot_size, penalty_slots,
+        group_ids, penalty_cols, penalty_groups, is_screen_mask,
+        # per-fold (leading K axis)
+        beta0, active0, eta0, resid0, b0_init, w_folds,
+        # shared
+        offsets, w_base, w_train_sums, w_val_sums,
+        lmdas, valid,
+        alpha, tol_base, irls_tol, irls_max_iters,
+        dbeta_tol, newton_tol, newton_max_iters, max_iters,
+    ):
+        K = beta0.shape[0]
+
+        def fold_irls(beta_k, act_k, eta_k, resid_k, b0_k, w_k, lmda):
+            g = _with_weights(glm, w_k)
+
+            def hessian_floor(h):
+                return jnp.maximum(h, 0.0) + hmin * (h <= 0)
+
+            def irls_body(carry):
+                beta, active, eta, resid, b0, _, it, _, pin_ok = carry
+                grad_n = resid
+                hess = hessian_floor(g.hessian(eta, grad_n))
+                irls_resid = g.inv_hessian_gradient(eta, grad_n, hess)
+                hess_sum = jnp.sum(hess)
+                irls_w = hess / hess_sum
+                irls_y = irls_resid + eta - offsets
+                y_mean = jnp.vdot(irls_w, irls_y, precision=_PRECISION)
+                if intercept:
+                    irls_resid = irls_resid + (b0 - y_mean)
+                resid_sum = jnp.vdot(irls_w, irls_resid,
+                                     precision=_PRECISION)
+                lmda_adj = lmda / hess_sum
+                tol_adj = tol_base / hess_sum
+
+                A, means_s = screen_gram(Xs, irls_w, intercept)
+                eigvals, eigvecs = screen_eigh(
+                    A, slot_begin, slot_size, qmax
+                )
+                wv = irls_w * irls_resid
+                grad_s = jnp.einsum("ns,n->s", Xs, wv, precision=_PRECISION)
+                if intercept:
+                    grad_s = grad_s - means_s * resid_sum
+
+                beta_n, _, active_n, _, _, done = pin_cov_solve(
+                    A, grad_s, beta, slot_begin, slot_size, eigvals,
+                    eigvecs, penalty_slots, active, lmda_adj, alpha,
+                    tol_adj, dbeta_tol, newton_tol, newton_max_iters,
+                    max_iters, jnp.zeros((), dtype),
+                )
+                dbeta = beta_n - beta
+                irls_resid = irls_resid - jnp.matmul(
+                    Xs, dbeta, precision=_PRECISION
+                )
+                resid_sum_n = jnp.vdot(irls_w, irls_resid,
+                                       precision=_PRECISION)
+                b0_n = jnp.where(intercept, y_mean + resid_sum_n, 0.0)
+                eta_n = irls_y + offsets - irls_resid
+                if intercept:
+                    eta_n = eta_n + (b0_n - y_mean)
+                resid_n = g.gradient(eta_n)
+                crit = jnp.abs(jnp.vdot(resid_n - resid, eta_n - eta,
+                                        precision=_PRECISION))
+                return (beta_n, active_n, eta_n, resid_n, b0_n, crit,
+                        it + 1, crit <= irls_tol, done)
+
+            def irls_cond(carry):
+                _, _, _, _, _, _, it, converged, pin_ok = carry
+                return (~converged) & pin_ok & (it < irls_max_iters)
+
+            init = (beta_k, act_k, eta_k, resid_k, b0_k,
+                    jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+                    jnp.zeros((), bool), jnp.ones((), bool))
+            (beta, active, eta, resid, b0, _, _, converged,
+             pin_ok) = jax.lax.while_loop(irls_cond, irls_body, init)
+
+            # invariance + KKT for this fold
+            ones = jnp.ones_like(resid)
+            grad = mul_fn(X_data, resid, ones)
+            ok = cols_padded >= 0
+            safe = jnp.where(ok, cols_padded, 0)
+            beta_cols = jnp.zeros_like(grad).at[safe].set(
+                jnp.where(ok, beta, 0.0), mode="drop"
+            )
+            l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
+            gadj = grad - l2s * (penalty_cols * beta_cols)
+            sq = jax.ops.segment_sum(gadj * gadj, group_ids,
+                                     num_segments=num_groups)
+            abs_grad = jnp.sqrt(jnp.maximum(sq, 0.0))
+            viol = abs_grad > lmda * alpha * penalty_groups
+            kkt = ~jnp.any(viol & ~is_screen_mask)
+
+            g_full = _with_weights(glm, w_base)
+            loss_full = g_full.loss(eta)
+            loss_train = g.loss(eta)
+            return (beta, active, eta, resid, b0, abs_grad,
+                    converged & pin_ok, kkt, loss_full, loss_train)
+
+        vfold = jax.vmap(fold_irls, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+        def per_lambda(carry, inp):
+            beta, active, eta, resid, b0, abs_grad_c, stopped = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                beta, active, eta, resid, b0, abs_grad_c, stopped = args
+                (beta_n, act_n, eta_n, resid_n, b0_n, abs_grad, fit_ok,
+                 kkt, loss_full, loss_train) = vfold(
+                    beta, active, eta, resid, b0, w_folds, lmda
+                )
+                accept = jnp.all(fit_ok) & jnp.all(kkt)
+                val_loss = jnp.where(
+                    w_val_sums > 0,
+                    (loss_full - w_train_sums * loss_train) / w_val_sums,
+                    0.0,
+                )
+
+                def commit(_):
+                    return (beta_n, act_n, eta_n, resid_n, b0_n, abs_grad,
+                            ~accept)
+
+                def keep(_):
+                    return (beta, active, eta, resid, b0, abs_grad,
+                            jnp.ones((), bool))
+
+                carry_n = jax.lax.cond(jnp.all(fit_ok), commit, keep, None)
+                emit = (val_loss, accept, jnp.all(fit_ok),
+                        jnp.ones((), bool))
+                return carry_n, emit
+
+            def skip(args):
+                emit = (jnp.zeros((K,), dtype), jnp.zeros((), bool),
+                        jnp.ones((), bool), jnp.zeros((), bool))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, eta0, resid0, b0_init,
+                jnp.zeros((K, num_groups), dtype), jnp.zeros((), bool))
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+def get_cv_glm_chunk_step(glm, X, intercept, num_groups, qmax, dtype):
+    try:
+        key = ("cvglm", id(glm), X.structure_key(), bool(intercept),
+               int(num_groups), int(qmax), jnp.dtype(dtype).name)
+    except Exception:
+        return build_cv_glm_chunk_step(glm, X, intercept, num_groups, qmax,
+                                       dtype)
+    hit = _STEP_CACHE.get(key)
+    if hit is None:
+        hit = _STEP_CACHE[key] = build_cv_glm_chunk_step(
+            glm, X, intercept, num_groups, qmax, dtype
+        )
+    return hit
+
+
+class BatchedCVGlmDriver:
+    """Lockstep fold-batched IRLS path driver emitting CV losses
+    (separable GLMs: binomial logit/probit, poisson)."""
+
+    def __init__(self, X, glm, offsets, base_weights, weights_folds,
+                 w_train_sums, w_val_sums, state: NaiveStateBase,
+                 irls_tol, irls_max_iters):
+        self.s = state
+        self.X = X
+        self.glm = glm
+        K, n = weights_folds.shape
+        self.K = K
+        dtype = state.dtype
+        self._X_data = X.mul_spec()[1]
+        self.offsets = jnp.asarray(offsets, dtype)
+        self.w_base = jnp.asarray(base_weights, dtype)
+        self.w_folds = jnp.asarray(weights_folds, dtype)
+        self.w_train_sums = jnp.asarray(w_train_sums, dtype)
+        self.w_val_sums = jnp.asarray(w_val_sums, dtype)
+        self.irls_tol = float(irls_tol)
+        self.irls_max_iters = int(irls_max_iters)
+        self._penalty_groups_dev = jnp.asarray(state.penalty.astype(dtype))
+
+        # per-fold cold-start iterates
+        eta0 = jnp.broadcast_to(self.offsets, (K, n))
+        import jax as _jax
+
+        self.eta = jnp.asarray(eta0)
+        self.resid = _jax.vmap(
+            lambda w: _with_weights(glm, w).gradient(self.offsets)
+        )(self.w_folds)
+        self.b0 = jnp.zeros((K,), dtype)
+        self.beta_folds = np.zeros((K, 0), dtype)
+        self.active_folds = np.zeros((K, 0), bool)
+        # per-fold tol scale: loss_null - loss_full of the TRAIN data;
+        # approximated by the full-data quantities (tolerance scaling only)
+        gl = glm
+        self.loss_full_scalar = float(gl.loss_full())
+        self.losses = []
+        self.lmdas = []
+
+    def _sync_fold_buffers(self, S_val):
+        K = self.K
+        if self.beta_folds.shape[1] < S_val:
+            pad = S_val - self.beta_folds.shape[1]
+            self.beta_folds = np.concatenate(
+                [self.beta_folds, np.zeros((K, pad), self.beta_folds.dtype)],
+                axis=1,
+            )
+        G_s = len(self.s.screen_set)
+        if self.active_folds.shape[1] < G_s:
+            pad = G_s - self.active_folds.shape[1]
+            self.active_folds = np.concatenate(
+                [self.active_folds, np.zeros((K, pad), bool)], axis=1
+            )
+
+    def _run_chunk(self, lmdas, record, tol_base):
+        s = self.s
+        cache = s.ensure_screen_cache()
+        self._sync_fold_buffers(cache.S_val)
+        step = get_cv_glm_chunk_step(
+            self.glm, self.X, s.intercept, len(s.groups), cache.qmax,
+            s.dtype,
+        )
+        dtype = s.dtype
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        K = self.K
+        beta0 = np.zeros((K, cache.S_cap), dtype)
+        beta0[:, : cache.S_val] = self.beta_folds[:, : cache.S_val]
+        active0 = np.zeros((K, cache.G_cap), bool)
+        G_s = len(s.screen_set)
+        active0[:, :G_s] = self.active_folds[:, :G_s]
+
+        carry, emits = step(
+            self._X_data,
+            cache.Xs, cache.cols_padded, cache.slot_begin, cache.slot_size,
+            cache.penalty_slots,
+            s._group_ids, s._penalty_cols, self._penalty_groups_dev,
+            s.screen_mask_dev(),
+            jnp.asarray(beta0), jnp.asarray(active0), self.eta, self.resid,
+            self.b0, self.w_folds,
+            self.offsets, self.w_base, self.w_train_sums, self.w_val_sums,
+            jnp.asarray(lm_pad, dtype), jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(tol_base, dtype),
+            jnp.asarray(self.irls_tol, dtype),
+            jnp.asarray(self.irls_max_iters, jnp.int32),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+        )
+        (beta_f, active_f, eta_f, resid_f, b0_f, abs_grad_f, _) = carry
+        val_losses, accepts, fitoks, processed = emits
+
+        (beta_h, active_h, abs_grad_h, losses_np, accepts_np, fitok_np,
+         processed_np) = jax.device_get(
+            (beta_f, active_f, abs_grad_f, val_losses, accepts, fitoks,
+             processed)
+        )
+        n_proc = int(processed_np.sum())
+        n_acc = int(accepts_np[:n_proc].sum())
+        if np.any(processed_np & ~fitok_np):
+            raise MaxCDsError()
+
+        if record:
+            for i in range(n_acc):
+                self.losses.append(losses_np[i])
+                self.lmdas.append(float(lm_pad[i]))
+
+        if n_proc:
+            self.beta_folds = np.asarray(beta_h)[:, : cache.S_val].copy()
+            self.active_folds = np.asarray(active_h)[:, :G_s].copy()
+            self.eta = eta_f
+            self.resid = resid_f
+            self.b0 = b0_f
+            s.abs_grad = np.asarray(abs_grad_h).max(axis=0)
+            s.screen_is_active = self.active_folds.any(axis=0)
+            s.lmda = float(lm_pad[n_proc - 1])
+        return n_acc
+
+    def solve(self, path, loss_null_scalar):
+        s = self.s
+        tol_base = s.tol * (loss_null_scalar - self.loss_full_scalar)
+        self._run_chunk([large_lmda(s.dtype)], record=False,
+                        tol_base=tol_base)
+        idx = 0
+        kkt_passed = True
+        n_new_active = 0
+        current_active = int(s.screen_is_active.sum())
+        path = np.asarray(path, float)
+        while idx < len(path):
+            C = min(int(s.lmda_chunk), len(path) - idx)
+            chunk = path[idx:idx + C]
+            lmda_prev = path[idx + C - 2] if C > 1 else s.lmda
+            screen(s, chunk[-1], kkt_passed, n_new_active,
+                   lmda_prev=lmda_prev, lmda_fallback=chunk[0],
+                   chunk_size=C)
+            n_acc = self._run_chunk(chunk, record=True, tol_base=tol_base)
+            idx += n_acc
+            kkt_passed = n_acc == C
+            if n_acc:
+                new_active = int(s.screen_is_active.sum())
+                n_new_active = new_active - current_active
+                current_active = new_active
         return np.asarray(self.losses).T  # (K, L)

@@ -75,12 +75,7 @@ class GaussianNaiveDriver:
             if self._is_screen_dev is None or not bool(self._is_screen_dev.all()):
                 self._is_screen_dev = jnp.ones(len(s.groups), bool)
             return self._is_screen_dev
-        if self._is_screen_version != s._screen_version:
-            m = np.zeros(len(s.groups), bool)
-            m[s.screen_set] = True
-            self._is_screen_dev = jnp.asarray(m)
-            self._is_screen_version = s._screen_version
-        return self._is_screen_dev
+        return s.screen_mask_dev()
 
     def fit(self, lmda):
         s = self.s

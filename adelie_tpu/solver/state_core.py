@@ -309,6 +309,16 @@ class NaiveStateBase:
         )
         self.abs_grad = np.asarray(ag)
 
+    def screen_mask_dev(self):
+        """Device (G,) bool mask of screened groups, cached per screen
+        version (shared by the gaussian/constrained/CV drivers)."""
+        if getattr(self, "_screen_mask_ver", None) != self._screen_version:
+            m = np.zeros(len(self.groups), bool)
+            m[self.screen_set] = True
+            self._screen_mask_cache = jnp.asarray(m)
+            self._screen_mask_ver = self._screen_version
+        return self._screen_mask_cache
+
     def kkt(self, lmda) -> bool:
         """Reference solver_base.hpp:410-433."""
         is_screen = np.zeros(len(self.groups), bool)

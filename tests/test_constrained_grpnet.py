@@ -357,3 +357,43 @@ def test_constrained_basil_chunked_matches_screen_all(method):
         B_b, np.asarray(st_all.betas.todense()), atol=2e-5
     )
     assert np.all(np.abs(B_b) <= 0.15 + 1e-5)
+
+
+def test_constrained_basil_heterogeneous_group_sizes():
+    """Exact-KKT device correction with UNEQUAL group sizes, including a
+    constrained trailing group whose slice window would clamp without
+    padding (review fix: dynamic_slice clamping)."""
+    import adelie_tpu.constraint as ct
+    from adelie_tpu.configs import set_configs
+
+    rng = np.random.default_rng(7)
+    n = 250
+    sizes = [5, 2, 4, 1, 5, 3, 5, 2, 4, 5]   # p = 36, trailing size-5
+    groups = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    p = int(np.sum(sizes))
+    X = rng.standard_normal((n, p))
+    y = X[:, :5] @ rng.standard_normal(5) + 0.2 * rng.standard_normal(n)
+
+    def mk():
+        cons = [None] * len(sizes)
+        # constrain the first and LAST groups (the last exercises the
+        # trailing-window path)
+        cons[0] = ct.box(np.full(sizes[0], -0.2), np.full(sizes[0], 0.2))
+        cons[-1] = ct.box(np.full(sizes[-1], -0.2), np.full(sizes[-1], 0.2))
+        return cons
+
+    kw = dict(groups=groups, lmda_path_size=8, min_ratio=0.1,
+              progress_bar=False, early_exit=False, tol=1e-11)
+    st_all = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(), **kw)
+    assert st_all.error == "", st_all.error
+
+    set_configs("screen_all_max", 0)
+    try:
+        st_b = ad.grpnet(X, ad.glm.gaussian(y), constraints=mk(), **kw)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_b.error == "", st_b.error
+    np.testing.assert_allclose(
+        np.asarray(st_b.betas.todense()),
+        np.asarray(st_all.betas.todense()), atol=2e-5,
+    )

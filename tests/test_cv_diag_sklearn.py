@@ -240,11 +240,11 @@ def test_cv_fold_batched_equals_serial():
 
 
 def test_cv_fold_batch_glm_raises():
-    rng = np.random.default_rng(8)
-    X = rng.standard_normal((100, 10))
-    y = (X[:, 0] > 0).astype(float)
+    """fold_batch=True is invalid for non-separable GLMs (cox: the at-risk
+    machinery depends on weights, so folds cannot vmap)."""
+    d = ad.data.dense(100, 10, 10, glm="cox", seed=8)
     with pytest.raises(ValueError, match="fold_batch"):
-        ad.cv_grpnet(X, ad.glm.binomial(y), fold_batch=True, n_folds=3)
+        ad.cv_grpnet(d["X"], d["glm"], fold_batch=True, n_folds=3)
 
 
 def test_cv_glm_serial_exact_grid():
@@ -286,3 +286,48 @@ def test_cv_multinomial_and_cox():
                         lmda_path_size=6)
     assert res2.losses.shape == (3, 6)
     assert np.isfinite(res2.losses).all()
+
+
+def test_cv_grid_honors_alpha_and_groups():
+    """The CV lambda grid must be anchored at the lmda_max of the ACTUAL
+    problem (alpha/groups/penalty), not the default lasso (review fix)."""
+    rng = np.random.default_rng(11)
+    n, p = 150, 20
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - X[:, 1] + 0.2 * rng.standard_normal(n)
+
+    res = ad.cv_grpnet(X, ad.glm.gaussian(y), n_folds=3, seed=0,
+                       lmda_path_size=8, alpha=0.5)
+    st = ad.grpnet(X, ad.glm.gaussian(y), alpha=0.5, lmda_path_size=0,
+                   progress_bar=False)
+    np.testing.assert_allclose(res.lmdas[0], st.lmda_max, rtol=1e-10)
+
+    groups = np.arange(0, p, 5)
+    res_g = ad.cv_grpnet(X, ad.glm.gaussian(y), n_folds=3, seed=0,
+                         lmda_path_size=8, groups=groups)
+    st_g = ad.grpnet(X, ad.glm.gaussian(y), groups=groups, lmda_path_size=0,
+                     progress_bar=False)
+    np.testing.assert_allclose(res_g.lmdas[0], st_g.lmda_max, rtol=1e-10)
+
+
+def test_cv_fold_batched_glm_equals_serial():
+    """Separable GLMs (binomial/poisson) run fold-batched: the whole IRLS
+    path for all K folds is one fused device program with per-fold weights
+    vmapped through the GLM ops (weights enter only elementwise)."""
+    rng = np.random.default_rng(0)
+    n, p = 300, 40
+    X = rng.standard_normal((n, p))
+    y = (X[:, :4] @ rng.standard_normal(4) > 0).astype(float)
+
+    kw = dict(n_folds=4, seed=2, lmda_path_size=12, tol=1e-11,
+              irls_tol=1e-10)
+    res_b = ad.cv_grpnet(X, ad.glm.binomial(y), **kw)
+    res_s = ad.cv_grpnet(X, ad.glm.binomial(y), fold_batch=False, **kw)
+    np.testing.assert_allclose(res_b.losses, res_s.losses,
+                               rtol=1e-5, atol=1e-7)
+    assert res_b.best_idx == res_s.best_idx
+
+    yp = rng.poisson(np.exp(0.3 * X[:, 0])).astype(float)
+    r1 = ad.cv_grpnet(X, ad.glm.poisson(yp), **kw)
+    r2 = ad.cv_grpnet(X, ad.glm.poisson(yp), fold_batch=False, **kw)
+    np.testing.assert_allclose(r1.losses, r2.losses, rtol=1e-5, atol=1e-7)
