@@ -209,8 +209,11 @@ class NaiveStateBase:
     setup_lmda_max: bool = True
     setup_lmda_path: bool = True
     n_threads: int = 1  # accepted for API parity; unused
-    # lambdas fitted per device call (BASIL batching; TPU-specific knob)
-    lmda_chunk: int = 25
+    # lambdas fitted per device call (BASIL batching; TPU-specific knob).
+    # Frozen (post-early-exit / post-KKT-failure) scan iterations cost
+    # almost nothing, so large chunks only reduce dispatch+RTT overhead
+    # (measured: 100 beats 25 by ~11% on the n=40k x p=2000 headline)
+    lmda_chunk: int = 100
 
     # dynamic invariants
     screen_set: np.ndarray = None          # (S_G,) group indices
