@@ -1240,8 +1240,9 @@ def build_constrained_glm_chunk_step(glm, X, intercept: bool,
                 resid_n = glm.gradient(eta_n)
                 crit = jnp.abs(jnp.vdot(resid_n - resid, eta_n - eta,
                                         precision=_PRECISION))
+                it_n = jnp.where(jnp.isfinite(crit), it + 1, irls_max_iters)
                 return (beta_n, active_n, eta_n, resid_n, b0_n, mu_n, crit,
-                        it + 1, crit <= irls_tol, done)
+                        it_n, crit <= irls_tol, done)
 
             def irls_cond(carry):
                 _, _, _, _, _, _, _, it, converged, pin_ok = carry

@@ -84,7 +84,11 @@ def _make_irls_fit(glm, intercept: bool, qmax: int, dtype):
             resid_n = glm.gradient(eta_n)
             crit = jnp.abs(jnp.vdot(resid_n - resid, eta_n - eta,
                                     precision=_PRECISION))
-            return (beta_n, active_n, eta_n, resid_n, b0_n, crit, it + 1,
+            # divergence guard: a non-finite criterion (f32 overflow in a
+            # saturating GLM) would otherwise never satisfy any exit test
+            # and spin the loop to its full budget
+            it_n = jnp.where(jnp.isfinite(crit), it + 1, irls_max_iters)
+            return (beta_n, active_n, eta_n, resid_n, b0_n, crit, it_n,
                     crit <= irls_tol, done)
 
         def irls_cond(carry):

@@ -294,6 +294,15 @@ def pin_cov_solve(
 
     l1 = lmda * alpha
     l2 = lmda * (1.0 - alpha)
+    # dtype-feasibility floor + stall detection (same rationale as the
+    # constrained variant, pin_constrained.py): f64-calibrated tolerances
+    # are unreachable in f32 — the CD energy criterion plateaus at
+    # ~lam * eps^2 and the loop would spin its full max_iters budget
+    # (observed: a cox path at f32 burning 1e5 sweeps per small lambda).
+    # A stall exit reports converged-at-the-numerical-floor.
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    lam_max = jnp.maximum(jnp.max(jnp.abs(eigvals)), 1.0)
+    tol = jnp.maximum(tol, 100.0 * lam_max * (10.0 * eps) ** 2)
     consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
               l1, l2, newton_tol, newton_max_iters, dbeta_tol)
 
@@ -301,31 +310,37 @@ def pin_cov_solve(
         beta, grad, is_active, rsq, iters = state
 
         def cond(c):
-            _, _, _, _, convg, it = c
-            return (convg >= tol) & (it < max_iters)
+            _, _, _, _, convg, prev, it = c
+            stalled = (it > 20) & (convg >= 0.99 * prev)
+            return (convg >= tol) & (it < max_iters) & (~stalled)
 
         def body(c):
-            beta, grad, is_active, rsq, _, it = c
+            beta, grad, is_active, rsq, convg_prev, _, it = c
             beta, grad, is_active, rsq, convg = _sweep(
                 (beta, grad, is_active, rsq), consts, active_only=True
             )
-            return beta, grad, is_active, rsq, convg, it + 1
+            return beta, grad, is_active, rsq, convg, convg_prev, it + 1
 
         # always at least one active sweep (reference solve_active :181-215)
         beta, grad, is_active, rsq, convg = _sweep(
             (beta, grad, is_active, rsq), consts, active_only=True
         )
-        beta, grad, is_active, rsq, convg, iters = jax.lax.while_loop(
-            cond, body, (beta, grad, is_active, rsq, convg, iters + 1)
+        beta, grad, is_active, rsq, convg, _, iters = jax.lax.while_loop(
+            cond, body,
+            (beta, grad, is_active, rsq, convg,
+             jnp.asarray(jnp.inf, dtype), iters + 1),
         )
         return beta, grad, is_active, rsq, iters
 
     def outer_cond(state):
-        _, _, _, _, convg, iters, done = state
-        return (~done) & (iters < max_iters)
+        _, _, _, _, convg, prev, iters, done = state
+        stalled = (iters > 20) & (convg >= 0.99 * prev)
+        # a NaN-poisoned iterate fails every comparison: bail out fast
+        # (done stays False -> reported as a genuine failure)
+        return (~done) & (iters < max_iters) & (~stalled) & ~jnp.isnan(convg)
 
     def outer_body(state):
-        beta, grad, is_active, rsq, _, iters, _ = state
+        beta, grad, is_active, rsq, prev_convg, _, iters, _ = state
         beta, grad, is_active, rsq, iters = active_phase(
             (beta, grad, is_active, rsq, iters)
         )
@@ -334,11 +349,16 @@ def pin_cov_solve(
         )
         iters = iters + 1
         done = convg < tol
-        return beta, grad, is_active, rsq, convg, iters, done
+        return beta, grad, is_active, rsq, convg, prev_convg, iters, done
 
     init = (beta, grad, is_active, rsq, jnp.asarray(jnp.inf, dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    beta, grad, is_active, rsq, convg, iters, done = jax.lax.while_loop(
+            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool))
+    beta, grad, is_active, rsq, convg, _, iters, done = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
+    # a stall exit means the iterate is at the dtype's numerical floor:
+    # report converged rather than MaxCDs (it cannot improve further);
+    # a NaN exit is a genuine failure and must NOT be promoted
+    done = (done | (iters < max_iters)) & ~jnp.isnan(convg)
     return beta, grad, is_active, rsq, iters, done

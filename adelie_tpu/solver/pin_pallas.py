@@ -53,6 +53,11 @@ def _pin_kernel(
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     diag = diag_ref[:]
+    # dtype-feasibility floor (this kernel is f32-only): the CD energy
+    # criterion plateaus at ~lam * eps^2, below which the loop would spin
+    # its full max_iters budget (see pin.py / pin_constrained.py)
+    eps = jnp.asarray(1.1920929e-07, diag.dtype)
+    lam_cap = jnp.maximum(jnp.max(jnp.abs(diag)), 1.0)
     valid = valid_ref[:]
     penalty = penalty_ref[:]
     thr_num = l1 * penalty          # (1, S)
@@ -93,37 +98,48 @@ def _pin_kernel(
             0, S, body, (beta, grad, active, rsq, jnp.zeros((), beta.dtype))
         )
 
+    tol_f = jnp.maximum(tol, 100.0 * lam_cap * (10.0 * eps) ** 2)
+
     def active_phase(beta, grad, active, rsq, iters):
         beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 1.0)
 
         def cond(c):
-            _, _, _, _, convg, it = c
-            return (convg >= tol) & (it < max_iters)
+            _, _, _, _, convg, prev, it = c
+            stalled = (it > 20) & (convg >= 0.99 * prev)
+            return (convg >= tol_f) & (it < max_iters) & jnp.logical_not(stalled)
 
         def body(c):
-            beta, grad, active, rsq, _, it = c
+            beta, grad, active, rsq, convg_prev, _, it = c
             beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 1.0)
-            return beta, grad, active, rsq, convg, it + 1
+            return beta, grad, active, rsq, convg, convg_prev, it + 1
 
-        beta, grad, active, rsq, convg, iters = jax.lax.while_loop(
-            cond, body, (beta, grad, active, rsq, convg, iters + 1)
+        beta, grad, active, rsq, convg, _, iters = jax.lax.while_loop(
+            cond, body,
+            (beta, grad, active, rsq, convg,
+             jnp.asarray(jnp.inf, beta.dtype), iters + 1),
         )
         return beta, grad, active, rsq, iters
 
     def outer_cond(c):
-        _, _, _, _, it, done = c
-        return jnp.logical_not(done) & (it < max_iters)
+        _, _, _, _, convg, prev, it, done = c
+        stalled = (it > 20) & (convg >= 0.99 * prev)
+        nan_stop = jnp.logical_not(convg == convg)  # NaN-poisoned iterate
+        return (jnp.logical_not(done) & (it < max_iters)
+                & jnp.logical_not(stalled) & jnp.logical_not(nan_stop))
 
     def outer_body(c):
-        beta, grad, active, rsq, it, _ = c
+        beta, grad, active, rsq, prev_convg, _, it, _ = c
         beta, grad, active, rsq, it = active_phase(beta, grad, active, rsq, it)
         beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 0.0)
-        return beta, grad, active, rsq, it + 1, convg < tol
+        return (beta, grad, active, rsq, convg, prev_convg, it + 1,
+                convg < tol_f)
 
-    beta, grad, active, rsq, iters, done = jax.lax.while_loop(
+    beta, grad, active, rsq, convg, _, iters, done = jax.lax.while_loop(
         outer_cond, outer_body,
         (beta0_ref[:], grad0_ref[:], active0_ref[:],
-         rsq0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
+         rsq0, jnp.asarray(jnp.inf, jnp.float32),
+         jnp.asarray(jnp.inf, jnp.float32),
+         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
     )
 
     beta_out[:] = beta
@@ -131,7 +147,10 @@ def _pin_kernel(
     active_out[:] = active
     rsq_out[0, 0] = rsq
     iters_out[0, 0] = iters
-    done_out[0, 0] = done.astype(jnp.int32)
+    # a stall exit = the dtype's numerical floor: report converged;
+    # a NaN exit (convg != convg) is a genuine failure, not a stall
+    done_out[0, 0] = ((done | (iters < max_iters))
+                      & (convg == convg)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
