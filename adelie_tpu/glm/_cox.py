@@ -164,20 +164,36 @@ class GlmCox(GlmBase):
         """Cumulative sum with zero prepended (for partial-sum gathers)."""
         return jnp.concatenate([jnp.zeros((1,), v.dtype), jnp.cumsum(v)])
 
+    def _sfx0(self, v):
+        """Suffix sums: sfx[k] = sum_{j >= k} v[j], with sfx[n] = 0.
+
+        Any prefix-sum difference cs[i2] - cs[i1] equals sfx[i1] - sfx[i2];
+        the suffix form is used for the at-risk sums because late risk
+        sets are SMALL tails of the ordering — computing them as
+        differences of large prefix sums cancels catastrophically in f32
+        (observed: negative/zero risk sums deep in a cox path poisoning
+        the gradient with inf), while differences of the small suffix
+        sums stay accurate.
+        """
+        rev = jnp.cumsum(v[::-1])[::-1]
+        return jnp.concatenate([rev, jnp.zeros((1,), v.dtype)])
+
     def _risk_total(self, z):
         """risk_total_to = at-risk sum - scale * ties sum (stop order)."""
         z_to = z[self._stop_order]
         z_so = z[self._start_order]
-        cs_t = self._csum0(z_to)
-        cs_s = self._csum0(z_so)
-        risk1 = cs_t[self._end_to] - cs_t[self._asum_t_idx]
-        risk2 = cs_s[self._end_to] - cs_s[self._asum_s_idx]
+        sfx_t = self._sfx0(z_to)
+        sfx_s = self._sfx0(z_so)
+        risk1 = sfx_t[self._asum_t_idx] - sfx_t[self._end_to]
+        risk2 = sfx_s[self._asum_s_idx] - sfx_s[self._end_to]
         risk_sum = risk1 - risk2
         seg = jax.ops.segment_sum(
             z_to * self._indic_to, self._tie_id, num_segments=self._n_ties
         )
         ties_risk = self._indic_to * seg[self._tie_id]
-        return z_to, risk_sum - self._scale_to * ties_risk
+        # f32 rounding can still leave a tiny negative where the true sum
+        # is ~0; clamp so downstream 1/risk stays finite
+        return z_to, jnp.maximum(risk_sum - self._scale_to * ties_risk, 0.0)
 
     def _accumulate(self, v_to, scale_factor):
         """gs1 - gs3 scatter to stop positions minus gs2 at start positions.
@@ -205,18 +221,27 @@ class GlmCox(GlmBase):
     # ------------------------------------------------------------------ #
 
     def gradient(self, eta):
-        z = self.weights * jnp.exp(eta)
+        # exp(eta - max) stabilization: the gradient depends on z only
+        # through ratios z / risk-sums, which are shift-invariant, so the
+        # f32 overflow at eta ~ 88 (saturating fits deep in the path)
+        # disappears for free (the loss was already stabilized this way)
+        z = self.weights * jnp.exp(eta - jnp.max(eta))
         _, risk_total = self._risk_total(z)
         guard = ((self._status_to == 0) | (self._weights_mean_to == 0)).astype(z.dtype)
         v_to = self._status_to * self._weights_mean_to / (risk_total + guard)
+        # z underflow can zero a risk set whose event weight is nonzero;
+        # those positions contribute 0 to acc*z anyway — keep acc finite
+        v_to = jnp.where(jnp.isfinite(v_to), v_to, 0.0)
         acc = self._accumulate(v_to, self._scale_to)
         return self.weights * self._status_dev - acc * z
 
     def hessian(self, eta, grad):
-        z = self.weights * jnp.exp(eta)
+        # shift-invariant like the gradient: acc ~ 1/c^2 against z*z ~ c^2
+        z = self.weights * jnp.exp(eta - jnp.max(eta))
         _, risk_total = self._risk_total(z)
         guard = ((self._status_to == 0) | (self._weights_mean_to == 0)).astype(z.dtype)
         v_to = self._status_to * self._weights_mean_to / (risk_total**2 + guard)
+        v_to = jnp.where(jnp.isfinite(v_to), v_to, 0.0)
         acc = self._accumulate(v_to, self._scale_to * (2.0 - self._scale_to))
         return self.weights * self._status_dev - grad - acc * z * z
 

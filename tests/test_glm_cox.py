@@ -164,3 +164,34 @@ def test_cox_reweight():
     eta = np.zeros(n)
     assert np.isfinite(float(glm2.loss(eta)))
     assert float(glm2.loss_full()) <= float(glm2.loss(eta)) + 1e-12
+
+
+def test_cox_f32_deep_path_completes():
+    """f32 cox paths used to die at moderate lambda: the at-risk sums were
+    differences of LARGE prefix cumsums, which cancel catastrophically in
+    f32 once late risk sets get small (negative risk -> inf gradient ->
+    NaN IRLS). The suffix-sum accumulation fixes it; this locks the f32
+    path end to end."""
+    rng = np.random.default_rng(5)
+    n, p = 800, 60
+    X = rng.standard_normal((n, p)).astype(np.float32)
+    beta = np.zeros(p)
+    beta[:5] = rng.standard_normal(5)
+    stop = rng.exponential(np.exp(-X @ beta * 0.5)).astype(np.float32)
+    start = np.zeros(n, np.float32)
+    status = (rng.random(n) < 0.7).astype(np.float32)
+    glm32 = ad.glm.cox(start=start, stop=stop, status=status,
+                       dtype=np.float32)
+    st = ad.grpnet(X, glm32, lmda_path_size=40, min_ratio=0.02,
+                   progress_bar=False, early_exit=False)
+    assert st.error == "", st.error
+    assert len(st.lmdas) == 40
+    assert np.isfinite(np.asarray(st.betas.todense())).all()
+    # matches the f64 fit at f32-appropriate tolerance
+    glm64 = ad.glm.cox(start=start, stop=stop, status=status)
+    st64 = ad.grpnet(np.asarray(X, np.float64), glm64, lmda_path_size=40,
+                     min_ratio=0.02, progress_bar=False, early_exit=False)
+    np.testing.assert_allclose(
+        np.asarray(st.betas.todense()), np.asarray(st64.betas.todense()),
+        atol=5e-3,
+    )
