@@ -50,22 +50,27 @@ def _force(out):
     np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
 
 
-def _timeit(fn, reps=20, rounds=3):
+def _timeit(fn, reps=100, rounds=3):
     """Per-call device time amortizing the tunnel RTT (see
-    benchmark/bench_kernels.py).  Best of ``rounds`` measurement rounds —
-    the tunnel adds large run-to-run noise to sub-ms kernels."""
+    benchmark/bench_kernels.py).  Best of ``rounds`` measurement rounds;
+    the RTT estimate is the min of several probes, and the subtraction is
+    capped at half the elapsed time so a noisy RTT probe cannot produce
+    a near-zero (or negative) kernel time for sub-ms kernels."""
     out = fn()
     _force(out)
-    t0 = time.perf_counter()
-    _force(fn())
-    rtt = time.perf_counter() - t0
+    rtt = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(fn())
+        rtt = min(rtt, time.perf_counter() - t0)
     best = np.inf
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
         _force(out)
-        best = min(best, (time.perf_counter() - t0 - rtt) / reps)
+        elapsed = time.perf_counter() - t0
+        best = min(best, max(elapsed - rtt, 0.5 * elapsed) / reps)
     return max(best, 1e-9)
 
 
