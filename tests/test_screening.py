@@ -235,3 +235,32 @@ def test_glm_screening_kkt_certificate(no_screen_all):
     # IRLS tol is looser than the gaussian inner tol
     assert stat_max < 5e-4, stat_max
     assert viol_max < 1e-9, viol_max
+
+
+def test_cox_screening_matches_screen_all(no_screen_all):
+    """Cox IRLS path under real BASIL screening equals the screen-all fit
+    (completes the GLM screening coverage beyond binomial)."""
+    rng = np.random.default_rng(3)
+    n, p = 250, 40
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[:4] = rng.standard_normal(4)
+    stop = rng.exponential(np.exp(-X @ beta * 0.5))
+    status = (rng.random(n) < 0.7).astype(float)
+
+    def mk():
+        return ad.glm.cox(start=np.zeros(n), stop=stop, status=status)
+
+    kw = dict(lmda_path_size=10, min_ratio=0.1, progress_bar=False,
+              tol=1e-12, irls_tol=1e-11, early_exit=False)
+    st1 = ad.grpnet(X, mk(), **kw)
+    assert st1.error == "", st1.error
+    assert st1.screen_sizes[0] < p  # screening ran
+
+    set_configs("screen_all_max", None)
+    st2 = ad.grpnet(X, mk(), **kw)
+    set_configs("screen_all_max", 0)
+    np.testing.assert_allclose(
+        np.asarray(st1.betas.todense()), np.asarray(st2.betas.todense()),
+        atol=1e-6,
+    )
