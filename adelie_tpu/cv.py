@@ -374,14 +374,20 @@ def _cv_serial(X, glm, base_weights, val_sets, full_lmdas, early_exit,
             early_exit=early_exit, lmda_path=full_lmdas,
             progress_bar=False, **grpnet_params,
         )
-        # exact fits at the grid; interpolate only the (early-exited) tail
-        fitted = {round(float(l), 14): i for i, l in enumerate(state.lmdas)}
+        # exact fits at the grid; interpolate only the (early-exited) tail.
+        # The fit ran with lmda_path=full_lmdas, so recorded solutions align
+        # POSITIONALLY with a prefix of the grid — match by index (absolute
+        # decimal rounding would collapse sub-1e-14 lambdas, ADVICE r2)
+        fit_lmdas = np.asarray(state.lmdas, float)
+        n_fit = len(fit_lmdas)
+        aligned = n_fit <= len(full_lmdas) and np.allclose(
+            fit_lmdas, full_lmdas[:n_fit], rtol=1e-9, atol=0.0
+        )
         betas, intercepts = [], []
-        for lmda in full_lmdas:
-            i = fitted.get(round(float(lmda), 14))
-            if i is not None:
-                betas.append(state.betas[i])
-                intercepts.append(state.intercepts[i])
+        for j, lmda in enumerate(full_lmdas):
+            if aligned and j < n_fit:
+                betas.append(state.betas[j])
+                intercepts.append(state.intercepts[j])
             else:
                 b, b0 = coefficient(
                     lmda=lmda, betas=state.betas,

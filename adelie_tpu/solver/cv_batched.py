@@ -397,7 +397,8 @@ def build_cv_glm_chunk_step(glm, X, intercept: bool, num_groups: int,
     ):
         K = beta0.shape[0]
 
-        def fold_irls(beta_k, act_k, eta_k, resid_k, b0_k, w_k, lmda):
+        def fold_irls(beta_k, act_k, eta_k, resid_k, b0_k, w_k,
+                      tol_base_k, lmda):
             g = _with_weights(glm, w_k)
 
             def hessian_floor(h):
@@ -417,7 +418,7 @@ def build_cv_glm_chunk_step(glm, X, intercept: bool, num_groups: int,
                 resid_sum = jnp.vdot(irls_w, irls_resid,
                                      precision=_PRECISION)
                 lmda_adj = lmda / hess_sum
-                tol_adj = tol_base / hess_sum
+                tol_adj = tol_base_k / hess_sum
 
                 A, means_s = screen_gram(Xs, irls_w, intercept)
                 eigvals, eigvecs = screen_eigh(
@@ -483,7 +484,7 @@ def build_cv_glm_chunk_step(glm, X, intercept: bool, num_groups: int,
             return (beta, active, eta, resid, b0, abs_grad,
                     converged & pin_ok, kkt, loss_full, loss_train)
 
-        vfold = jax.vmap(fold_irls, in_axes=(0, 0, 0, 0, 0, 0, None))
+        vfold = jax.vmap(fold_irls, in_axes=(0, 0, 0, 0, 0, 0, 0, None))
 
         def per_lambda(carry, inp):
             beta, active, eta, resid, b0, abs_grad_c, stopped = carry
@@ -494,7 +495,7 @@ def build_cv_glm_chunk_step(glm, X, intercept: bool, num_groups: int,
                 beta, active, eta, resid, b0, abs_grad_c, stopped = args
                 (beta_n, act_n, eta_n, resid_n, b0_n, abs_grad, fit_ok,
                  kkt, loss_full, loss_train) = vfold(
-                    beta, active, eta, resid, b0, w_folds, lmda
+                    beta, active, eta, resid, b0, w_folds, tol_base, lmda
                 )
                 accept = jnp.all(fit_ok) & jnp.all(kkt)
                 val_loss = jnp.where(
@@ -675,9 +676,22 @@ class BatchedCVGlmDriver:
 
     def solve(self, path, loss_null_scalar):
         s = self.s
-        tol_base = s.tol * (loss_null_scalar - self.loss_full_scalar)
+        # null chunk runs with the full-data tolerance scale broadcast to
+        # all folds (only gates the trivial intercept-only fit)
+        tol0 = s.tol * (loss_null_scalar - self.loss_full_scalar)
         self._run_chunk([large_lmda(s.dtype)], record=False,
-                        tol_base=tol_base)
+                        tol_base=np.full(self.K, tol0))
+        # per-fold tol scale from each fold's OWN reweighted null/full
+        # losses (ADVICE r2): after the null chunk, eta holds each fold's
+        # null model, and both losses are cheap elementwise reductions
+        loss_null_k, loss_full_k = jax.device_get(jax.jit(jax.vmap(
+            lambda w, eta: (
+                _with_weights(self.glm, w).loss(eta),
+                _with_weights(self.glm, w).loss_full(),
+            )
+        ))(self.w_folds, self.eta))
+        tol_base = s.tol * (np.asarray(loss_null_k, float)
+                            - np.asarray(loss_full_k, float))
         idx = 0
         kkt_passed = True
         n_new_active = 0

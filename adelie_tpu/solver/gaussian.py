@@ -158,9 +158,14 @@ class GaussianNaiveDriver:
     def _run_chunk(self, lmdas, record):
         """Run a chunk of lambdas in one device call.
 
-        Returns (n_accepted, early_stopped).  State is advanced through the
-        last processed lambda (KKT-failed fits keep their iterate, as in
-        the reference retry loop, solver_base.hpp:605-686).
+        Returns (n_accepted, early_stopped, kkt_clean).  ``kkt_clean`` is
+        True when no processed lambda failed KKT — a chunk frozen by the
+        sweep budget (or deviance early exit) with every processed lambda
+        accepted must NOT be treated as a KKT failure by the next screen()
+        call (which would needlessly union in the strong set).  State is
+        advanced through the last processed lambda (KKT-failed fits keep
+        their iterate, as in the reference retry loop,
+        solver_base.hpp:605-686).
         """
         s = self.s
         sw = Stopwatch().start()
@@ -225,6 +230,7 @@ class GaussianNaiveDriver:
         # stop was a deviance early-exit (not a KKT failure or a sweep-
         # budget freeze) iff the early flag was raised on device
         early_stopped = bool(jax.device_get(early_seen_f))
+        kkt_clean = n_acc == n_proc
 
         # record accepted solutions
         if record:
@@ -259,7 +265,7 @@ class GaussianNaiveDriver:
                 self._prev_dev = float(prev_dev_h)
                 self._have_prev_dev = bool(have_prev_h)
         s.benchmark["fit_screen"].append(sw.elapsed())
-        return n_acc, early_stopped
+        return n_acc, early_stopped, kkt_clean
 
     def solve_path(self, progress_bar=False, exit_cond=None):
         """Chunked BASIL loop (replaces basil.solve_core for gaussian)."""
@@ -301,7 +307,7 @@ class GaussianNaiveDriver:
             seg = list(path[:large_count])
             Cc = int(s.lmda_chunk)
             for i in range(0, len(seg), Cc):
-                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                n_acc, early, _ = self._run_chunk(seg[i:i + Cc], record=True)
                 if early or exit_cond(s):
                     s.total_time = sw.elapsed()
                     return s
@@ -323,13 +329,16 @@ class GaussianNaiveDriver:
                    chunk_size=C)
             s.benchmark["screen"].append(sw_p.elapsed())
 
-            n_acc, early = self._run_chunk(chunk, record=True)
+            n_acc, early, kkt_clean = self._run_chunk(chunk, record=True)
             idx += n_acc
             if pbar is not None and n_acc:
                 pbar.update(n_acc)
                 if len(s.devs):
                     pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
-            kkt_passed = n_acc == C
+            # budget-frozen chunks with all processed lambdas accepted are
+            # NOT KKT failures (ADVICE r2): screening must not union in the
+            # strong set for them
+            kkt_passed = kkt_clean
             if n_acc:
                 n_new_active = s.active_set_size - current_active
                 current_active = s.active_set_size

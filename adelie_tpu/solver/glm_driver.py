@@ -283,6 +283,9 @@ class GlmNaiveDriver:
 
         n_proc = int(processed_np.sum())
         n_acc = int(accepts_np[:n_proc].sum())
+        # all processed lambdas accepted => freeze was budget/early-driven,
+        # not a KKT failure (see gaussian.py _run_chunk docstring)
+        kkt_clean = n_acc == n_proc
 
         # advance state through the last successful fit BEFORE raising, so
         # a failure still leaves a valid partial state (py_state.cpp:83-89)
@@ -332,7 +335,7 @@ class GlmNaiveDriver:
 
         early_stopped = bool(jax.device_get(early_seen_f))
         s.benchmark["fit_screen"].append(sw.elapsed())
-        return n_acc, early_stopped
+        return n_acc, early_stopped, kkt_clean
 
     def solve_path(self, progress_bar=False, exit_cond=None):
         """Chunked BASIL loop for GLMs (mirrors gaussian solve_path)."""
@@ -374,7 +377,7 @@ class GlmNaiveDriver:
             seg = list(path[:large_count])
             Cc = int(s.lmda_chunk)
             for i in range(0, len(seg), Cc):
-                n_acc, early = self._run_chunk(seg[i:i + Cc], record=True)
+                n_acc, early, _ = self._run_chunk(seg[i:i + Cc], record=True)
                 if early or exit_cond(s):
                     s.total_time = sw.elapsed()
                     return s
@@ -395,13 +398,16 @@ class GlmNaiveDriver:
                    chunk_size=C)
             s.benchmark["screen"].append(sw_p.elapsed())
 
-            n_acc, early = self._run_chunk(chunk, record=True)
+            n_acc, early, kkt_clean = self._run_chunk(chunk, record=True)
             idx += n_acc
             if pbar is not None and n_acc:
                 pbar.update(n_acc)
                 if len(s.devs):
                     pbar.set_postfix_str(f"dev:{100 * s.devs[-1]:.1f}%")
-            kkt_passed = n_acc == C
+            # budget-frozen chunks with all processed lambdas accepted are
+            # NOT KKT failures (ADVICE r2): screening must not union in the
+            # strong set for them
+            kkt_passed = kkt_clean
             if n_acc:
                 n_new_active = s.active_set_size - current_active
                 current_active = s.active_set_size

@@ -294,32 +294,45 @@ def pin_cov_solve(
 
     l1 = lmda * alpha
     l2 = lmda * (1.0 - alpha)
-    # dtype-feasibility floor + stall detection (same rationale as the
-    # constrained variant, pin_constrained.py): f64-calibrated tolerances
-    # are unreachable in f32 — the CD energy criterion plateaus at
-    # ~lam * eps^2 and the loop would spin its full max_iters budget
-    # (observed: a cox path at f32 burning 1e5 sweeps per small lambda).
-    # A stall exit reports converged-at-the-numerical-floor.
+    # dtype-feasibility floor + floor-gated stall detection: f64-calibrated
+    # tolerances are unreachable in f32 — the CD energy criterion plateaus
+    # at ~lam * (eps*|beta|)^2 and the loop would spin its full max_iters
+    # budget (observed: a cox path at f32 burning 1e5 sweeps per small
+    # lambda).  A stall exit requires BOTH (a) three consecutive sweeps
+    # improving convg by <1% and (b) convg at the dtype floor
+    # (stall_floor ~ 1e8*lam*eps^2: ~1e-6*lam in f32, ~5e-24*lam in f64 so
+    # f64 never stalls spuriously).  Slow-but-convergent problems above the
+    # floor keep iterating to tol or hit max_iters and surface as
+    # MaxCDsError — a stall is never promoted to converged above the floor.
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     lam_max = jnp.maximum(jnp.max(jnp.abs(eigvals)), 1.0)
     tol = jnp.maximum(tol, 100.0 * lam_max * (10.0 * eps) ** 2)
+    stall_floor = 1e8 * lam_max * eps * eps
     consts = (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
               l1, l2, newton_tol, newton_max_iters, dbeta_tol)
+
+    def _slow_count(slow, convg, prev):
+        return jnp.where(convg >= 0.99 * prev, slow + 1,
+                         jnp.zeros((), jnp.int32))
+
+    def _is_stalled(slow, convg):
+        return (slow >= 3) & (convg <= stall_floor)
 
     def active_phase(state):
         beta, grad, is_active, rsq, iters = state
 
         def cond(c):
-            _, _, _, _, convg, prev, it = c
-            stalled = (it > 20) & (convg >= 0.99 * prev)
+            _, _, _, _, convg, slow, it = c
+            stalled = _is_stalled(slow, convg)
             return (convg >= tol) & (it < max_iters) & (~stalled)
 
         def body(c):
-            beta, grad, is_active, rsq, convg_prev, _, it = c
+            beta, grad, is_active, rsq, prev, slow, it = c
             beta, grad, is_active, rsq, convg = _sweep(
                 (beta, grad, is_active, rsq), consts, active_only=True
             )
-            return beta, grad, is_active, rsq, convg, convg_prev, it + 1
+            return (beta, grad, is_active, rsq, convg,
+                    _slow_count(slow, convg, prev), it + 1)
 
         # always at least one active sweep (reference solve_active :181-215)
         beta, grad, is_active, rsq, convg = _sweep(
@@ -328,19 +341,19 @@ def pin_cov_solve(
         beta, grad, is_active, rsq, convg, _, iters = jax.lax.while_loop(
             cond, body,
             (beta, grad, is_active, rsq, convg,
-             jnp.asarray(jnp.inf, dtype), iters + 1),
+             jnp.zeros((), jnp.int32), iters + 1),
         )
         return beta, grad, is_active, rsq, iters
 
     def outer_cond(state):
-        _, _, _, _, convg, prev, iters, done = state
-        stalled = (iters > 20) & (convg >= 0.99 * prev)
+        _, _, _, _, convg, slow, iters, done = state
+        stalled = _is_stalled(slow, convg)
         # a NaN-poisoned iterate fails every comparison: bail out fast
         # (done stays False -> reported as a genuine failure)
         return (~done) & (iters < max_iters) & (~stalled) & ~jnp.isnan(convg)
 
     def outer_body(state):
-        beta, grad, is_active, rsq, prev_convg, _, iters, _ = state
+        beta, grad, is_active, rsq, prev, slow, iters, _ = state
         beta, grad, is_active, rsq, iters = active_phase(
             (beta, grad, is_active, rsq, iters)
         )
@@ -349,16 +362,17 @@ def pin_cov_solve(
         )
         iters = iters + 1
         done = convg < tol
-        return beta, grad, is_active, rsq, convg, prev_convg, iters, done
+        return (beta, grad, is_active, rsq, convg,
+                _slow_count(slow, convg, prev), iters, done)
 
     init = (beta, grad, is_active, rsq, jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool))
-    beta, grad, is_active, rsq, convg, _, iters, done = jax.lax.while_loop(
+    beta, grad, is_active, rsq, convg, slow, iters, done = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
-    # a stall exit means the iterate is at the dtype's numerical floor:
-    # report converged rather than MaxCDs (it cannot improve further);
-    # a NaN exit is a genuine failure and must NOT be promoted
-    done = (done | (iters < max_iters)) & ~jnp.isnan(convg)
+    # a floor-gated stall exit means the iterate is at the dtype's numerical
+    # floor: report converged (it cannot improve further).  Any other early
+    # exit (incl. NaN) is a genuine failure and is NOT promoted.
+    done = (done | _is_stalled(slow, convg)) & ~jnp.isnan(convg)
     return beta, grad, is_active, rsq, iters, done

@@ -256,21 +256,36 @@ def pin_cov_solve_constrained(
               jnp.asarray(pn_slack, dtype), pn_nnls_tol,
               pn_nnls_max_iters, pn_pinball_tol, pn_pinball_max_iters, big)
 
+    # Floor-gated stall (see pin.py): the achievable CD plateau is set by
+    # the inner constrained-solver noise (~cons_tol per coordinate) as well
+    # as the dtype eps, so the floor accounts for both.  Above the floor,
+    # slow problems run to tol or max_iters (honest failure).
+    stall_floor = lam_max * jnp.maximum(
+        1e8 * eps * eps, 1e6 * cons_tol * cons_tol
+    )
+
+    def _slow_count(slow, convg, prev):
+        return jnp.where(convg >= 0.99 * prev, slow + 1,
+                         jnp.zeros((), jnp.int32))
+
+    def _is_stalled(slow, convg):
+        return (slow >= 3) & (convg <= stall_floor)
+
     def active_phase(state):
         beta, grad, is_active, rsq, mu, iters = state
 
         def cond(c):
-            _, _, _, _, _, convg, prev, it = c
-            stalled = (it > 20) & (convg >= 0.99 * prev)
+            _, _, _, _, _, convg, slow, it = c
+            stalled = _is_stalled(slow, convg)
             return (convg >= tol) & (it < max_iters) & (~stalled)
 
         def body(c):
-            beta, grad, is_active, rsq, mu, convg_prev, _, it = c
+            beta, grad, is_active, rsq, mu, prev, slow, it = c
             beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
                 (beta, grad, is_active, rsq, mu), consts, True, cons_method
             )
-            return (beta, grad, is_active, rsq, mu, convg, convg_prev,
-                    it + 1)
+            return (beta, grad, is_active, rsq, mu, convg,
+                    _slow_count(slow, convg, prev), it + 1)
 
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
             (beta, grad, is_active, rsq, mu), consts, True, cons_method
@@ -278,18 +293,18 @@ def pin_cov_solve_constrained(
         out = jax.lax.while_loop(
             cond, body,
             (beta, grad, is_active, rsq, mu, convg,
-             jnp.asarray(jnp.inf, dtype), iters + 1),
+             jnp.zeros((), jnp.int32), iters + 1),
         )
         beta, grad, is_active, rsq, mu, convg, _, iters = out
         return beta, grad, is_active, rsq, mu, iters
 
     def outer_cond(state):
-        _, _, _, _, _, convg, prev, iters, done = state
-        stalled = (iters > 20) & (convg >= 0.99 * prev)
-        return (~done) & (iters < max_iters) & (~stalled)
+        _, _, _, _, _, convg, slow, iters, done = state
+        stalled = _is_stalled(slow, convg)
+        return (~done) & (iters < max_iters) & (~stalled) & ~jnp.isnan(convg)
 
     def outer_body(state):
-        beta, grad, is_active, rsq, mu, prev_convg, _, iters, _ = state
+        beta, grad, is_active, rsq, mu, prev, slow, iters, _ = state
         beta, grad, is_active, rsq, mu, iters = active_phase(
             (beta, grad, is_active, rsq, mu, iters)
         )
@@ -298,15 +313,15 @@ def pin_cov_solve_constrained(
         )
         iters = iters + 1
         done = convg < tol
-        return (beta, grad, is_active, rsq, mu, convg, prev_convg, iters,
-                done)
+        return (beta, grad, is_active, rsq, mu, convg,
+                _slow_count(slow, convg, prev), iters, done)
 
     init = (beta, grad, is_active, rsq, mu, jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool))
-    (beta, grad, is_active, rsq, mu, convg, _, iters, done
+    (beta, grad, is_active, rsq, mu, convg, slow, iters, done
      ) = jax.lax.while_loop(outer_cond, outer_body, init)
-    # a stall exit means we are at the dtype's numerical floor: report
-    # converged rather than MaxCDs (the iterate cannot improve further)
-    done = done | (iters < max_iters)
+    # a floor-gated stall exit = converged at the numerical floor; any
+    # other early exit (incl. NaN) is a genuine failure and not promoted
+    done = (done | _is_stalled(slow, convg)) & ~jnp.isnan(convg)
     return beta, grad, is_active, rsq, mu, iters, done

@@ -99,46 +99,58 @@ def _pin_kernel(
         )
 
     tol_f = jnp.maximum(tol, 100.0 * lam_cap * (10.0 * eps) ** 2)
+    # floor-gated stall (see pin.py): exit only after 3 consecutive <1%
+    # sweeps with convg already at the dtype floor; above the floor slow
+    # problems run to tol or max_iters (honest failure)
+    stall_floor = 1e8 * lam_cap * eps * eps
+
+    def _slow_count(slow, convg, prev):
+        return jnp.where(convg >= 0.99 * prev, slow + 1,
+                         jnp.zeros((), jnp.int32))
+
+    def _is_stalled(slow, convg):
+        return (slow >= 3) & (convg <= stall_floor)
 
     def active_phase(beta, grad, active, rsq, iters):
         beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 1.0)
 
         def cond(c):
-            _, _, _, _, convg, prev, it = c
-            stalled = (it > 20) & (convg >= 0.99 * prev)
-            return (convg >= tol_f) & (it < max_iters) & jnp.logical_not(stalled)
+            _, _, _, _, convg, slow, it = c
+            return ((convg >= tol_f) & (it < max_iters)
+                    & jnp.logical_not(_is_stalled(slow, convg)))
 
         def body(c):
-            beta, grad, active, rsq, convg_prev, _, it = c
+            beta, grad, active, rsq, prev, slow, it = c
             beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 1.0)
-            return beta, grad, active, rsq, convg, convg_prev, it + 1
+            return (beta, grad, active, rsq, convg,
+                    _slow_count(slow, convg, prev), it + 1)
 
         beta, grad, active, rsq, convg, _, iters = jax.lax.while_loop(
             cond, body,
             (beta, grad, active, rsq, convg,
-             jnp.asarray(jnp.inf, beta.dtype), iters + 1),
+             jnp.zeros((), jnp.int32), iters + 1),
         )
         return beta, grad, active, rsq, iters
 
     def outer_cond(c):
-        _, _, _, _, convg, prev, it, done = c
-        stalled = (it > 20) & (convg >= 0.99 * prev)
+        _, _, _, _, convg, slow, it, done = c
         nan_stop = jnp.logical_not(convg == convg)  # NaN-poisoned iterate
         return (jnp.logical_not(done) & (it < max_iters)
-                & jnp.logical_not(stalled) & jnp.logical_not(nan_stop))
+                & jnp.logical_not(_is_stalled(slow, convg))
+                & jnp.logical_not(nan_stop))
 
     def outer_body(c):
-        beta, grad, active, rsq, prev_convg, _, it, _ = c
+        beta, grad, active, rsq, prev, slow, it, _ = c
         beta, grad, active, rsq, it = active_phase(beta, grad, active, rsq, it)
         beta, grad, active, rsq, convg = sweep(beta, grad, active, rsq, 0.0)
-        return (beta, grad, active, rsq, convg, prev_convg, it + 1,
-                convg < tol_f)
+        return (beta, grad, active, rsq, convg,
+                _slow_count(slow, convg, prev), it + 1, convg < tol_f)
 
-    beta, grad, active, rsq, convg, _, iters, done = jax.lax.while_loop(
+    beta, grad, active, rsq, convg, slow, iters, done = jax.lax.while_loop(
         outer_cond, outer_body,
         (beta0_ref[:], grad0_ref[:], active0_ref[:],
          rsq0, jnp.asarray(jnp.inf, jnp.float32),
-         jnp.asarray(jnp.inf, jnp.float32),
+         jnp.zeros((), jnp.int32),
          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
     )
 
@@ -147,9 +159,9 @@ def _pin_kernel(
     active_out[:] = active
     rsq_out[0, 0] = rsq
     iters_out[0, 0] = iters
-    # a stall exit = the dtype's numerical floor: report converged;
-    # a NaN exit (convg != convg) is a genuine failure, not a stall
-    done_out[0, 0] = ((done | (iters < max_iters))
+    # a floor-gated stall exit = converged at the dtype's numerical floor;
+    # any other early exit (incl. NaN, convg != convg) is a genuine failure
+    done_out[0, 0] = ((done | _is_stalled(slow, convg))
                       & (convg == convg)).astype(jnp.int32)
 
 
