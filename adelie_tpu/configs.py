@@ -47,6 +47,12 @@ class Configs:
     # instead of tripping the platform watchdog (the reference polls
     # PyErr_CheckSignals every CD iteration, py_state.cpp:70-74).
     chunk_sweep_budget: int = 1_000_000
+    # HBM byte budget for device-resident packed SNP matrices; above it the
+    # snp factories pick the host-streaming matrix (tiles swept through the
+    # device per full-p product, matrix/_snp_stream.py).  Default leaves
+    # ~8 GB of a v5e's 16 GB for solver state, per-lambda gradient stacks
+    # and streaming double-buffers.
+    snp_hbm_budget: int = 8 << 30
 
 
 _default = Configs()

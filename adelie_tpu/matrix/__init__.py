@@ -184,15 +184,41 @@ def interaction(mat, intr_map, levels=None, *, n_threads: int = 1):
     return MatrixNaiveInteractionDense(mat, intr_map, levels)
 
 
-def snp_unphased(io, *, n_threads: int = 1, dtype=None, mesh=None):
+def snp_unphased(io, *, n_threads: int = 1, dtype=None, mesh=None,
+                 streaming="auto", tile_snps: int = 65536):
     """Packed SNP unphased matrix (reference matrix.py:1245).
 
     ``mesh``: a ``jax.sharding.Mesh`` (or None to use the
     ``adelie_tpu.parallel.use_mesh`` active mesh) — the packed byte
     (observation) axis shards across it; gradients run as per-device
-    decode-matmuls + an ICI all-reduce (see matrix/_snp.py)."""
-    from ._snp import MatrixNaiveSNPUnphased
+    decode-matmuls + an ICI all-reduce (see matrix/_snp.py).
 
+    ``streaming``: ``True`` keeps the packed bytes in HOST memory and
+    streams SNP tiles through the device per full-matrix product — the
+    out-of-HBM path for matrices larger than a chip (the 1M-SNP x
+    100K-sample north star is ~25 GB packed vs 16 GB HBM; the reference
+    streams from mmap for the same reason, io_snp_base.hpp:25-87).
+    ``"auto"`` picks streaming when the packed bytes (x mesh size if
+    sharded) exceed ``configs.snp_hbm_budget``.  ``tile_snps``: SNP rows
+    per streamed tile."""
+    from ..configs import configs as _cfg
+    from ._snp import MatrixNaiveSNPUnphased
+    from ._snp_stream import MatrixNaiveSNPUnphasedStreamed
+
+    if streaming == "auto":
+        io._ensure() if hasattr(io, "_ensure") else None
+        import numpy as _np
+
+        from ..parallel import active_mesh
+
+        m = mesh if mesh is not None else active_mesh()
+        D = int(_np.prod(m.devices.shape)) if m is not None else 1
+        packed_bytes = int(io.snps()) * ((int(io.rows()) + 3) // 4)
+        streaming = packed_bytes > D * _cfg.snp_hbm_budget
+    if streaming:
+        return MatrixNaiveSNPUnphasedStreamed(
+            io, dtype=dtype, tile_snps=tile_snps, mesh=mesh
+        )
     return MatrixNaiveSNPUnphased(io, dtype=dtype, mesh=mesh)
 
 

@@ -116,6 +116,78 @@ def snp_mul_pallas(packed, u, impute, interpret: bool = False):
     return out[:, 0]
 
 
+def _snp_mul_many_kernel(packed_ref, u_ref, impute_ref, out_ref, *, C):
+    """Multi-residual decode-matmul tile: out (TP, C) += decode(packed)^T-
+    style reduction against C residual streams at once.
+
+    The C-residual contraction turns the per-plane broadcast-reduce of the
+    single-residual kernel into an MXU matmul (TP, TNB) x (TNB, C), so the
+    KKT gradients of a whole lambda chunk ride ONE pass over the packed
+    bytes — the decode (VPU) cost is amortized C ways.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    raw = packed_ref[:].astype(jnp.int32)
+    imp = impute_ref[:]
+    acc = jnp.zeros_like(out_ref[:])
+    for k, c in enumerate(_planes(raw)):
+        cf = c.astype(jnp.float32)
+        cf = jnp.where(c == 3, imp, cf)
+        uk = u_ref[:, k * C:(k + 1) * C]          # (TNB, C): plane k streams
+        acc += jnp.dot(cf, uk, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def _u_planes_many(U, nb, dtype):
+    """(C, n) residual block -> (nb_pad, 4*C) plane-major streams: column
+    k*C + c holds plane k (samples i = 4*b + k) of residual c."""
+    C = U.shape[0]
+    nb_pad = ((nb + TNB - 1) // TNB) * TNB
+    up = jnp.zeros((C, 4 * nb_pad), dtype).at[:, : U.shape[1]].set(U)
+    # (C, nb_pad, 4) -> (nb_pad, 4, C) -> (nb_pad, 4*C)
+    return up.reshape(C, nb_pad, 4).transpose(1, 2, 0).reshape(nb_pad, 4 * C)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def snp_mul_many_pallas(packed, U, impute, interpret: bool = False):
+    """out[j, c] = sum_i decode(packed[j], i) * U[c, i] — C residuals in one
+    pass over the packed bytes (the streamed-KKT workhorse).
+
+    ``packed``: (p, nb) uint8; ``U``: (C, n) f32 (already weight-multiplied);
+    ``impute``: (p,) f32.  Returns (p, C) f32.
+    """
+    p, nb = packed.shape
+    C = U.shape[0]
+    dtype = U.dtype
+    u_planes = _u_planes_many(U, nb, dtype)
+    nb_pad = u_planes.shape[0]
+    grid = ((p + TP - 1) // TP, nb_pad // TNB)
+    out = pl.pallas_call(
+        functools.partial(_snp_mul_many_kernel, C=C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TP, TNB), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNB, 4 * C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TP, C), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(packed, u_planes, impute.reshape(p, 1))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def snp_mul_pallas_no_na(packed, u, interpret: bool = False):
     """NA-free decode-matmul (phased-ancestry: codes 0..2 only)."""

@@ -229,12 +229,30 @@ def grpnet(
         state.glm = glm
         state.offsets = offs
         if has_constraints:
+            if getattr(X, "is_streaming", False):
+                raise NotImplementedError(
+                    "constrained fits over host-streamed matrices are not "
+                    "supported; load the matrix into HBM "
+                    "(matrix.snp_unphased(..., streaming=False)) or drop "
+                    "the constraints."
+                )
             from .constrained import ConstrainedGaussianDriver
 
             driver = ConstrainedGaussianDriver(state, list(constraints))
+        elif getattr(X, "is_streaming", False):
+            from .streamed import StreamedGaussianDriver
+
+            driver = StreamedGaussianDriver(state)
         else:
             driver = GaussianNaiveDriver(state)
     else:
+        if getattr(X, "is_streaming", False):
+            raise NotImplementedError(
+                "GLM (IRLS) fits over host-streamed matrices are not "
+                "supported yet; only the gaussian fast path streams. Load "
+                "the matrix into HBM (matrix.snp_unphased(..., "
+                "streaming=False)) or use a gaussian glm."
+            )
         offs = jnp.asarray(offsets_np.ravel(), dtype)
         if warm_start is None:
             eta = offs

@@ -1,0 +1,320 @@
+"""Streamed gaussian path driver — BASIL over host-resident packed matrices.
+
+The fused chunk step (``fused.py``) computes the full-p KKT gradient per
+lambda *inside* the device scan, which requires the matrix payload in
+HBM.  For host-streamed matrices (``matrix/_snp_stream.py``, the 25 GB
+north-star GWAS case) the chunk is restructured:
+
+1. **Optimistic fit scan** (device): fit the whole lambda chunk
+   back-to-back against the HBM-resident *screened* block only — no
+   full-p work, no KKT verdicts.  Emits per-lambda betas/actives/rsq.
+2. **Streamed KKT** (one pass over the packed bytes): reconstruct every
+   lambda's weighted residual from the emitted betas, then
+   ``X.mul_many`` sweeps host tiles through the device ONCE to get the
+   (p, C) gradient stack; a single jitted finalize turns it into
+   per-lambda group norms and KKT verdicts.
+3. **Certify + rollback** (host): accepted prefix = lambdas before the
+   first KKT failure; on failure the state keeps the failed lambda's
+   iterate (reference retry semantics, solver_base.hpp:605-686), the
+   screen set grows from that lambda's abs_grad, and the path resumes.
+
+Fitting optimistically wastes the post-failure fits of a chunk, but
+chunk-aware screening makes failures rare (~1 per path), while the
+amortization is huge: the packed bytes stream host->HBM once per chunk
+instead of once per lambda.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import configs
+from ..exceptions import MaxCDsError
+from ..utils import Stopwatch
+from .gaussian import GaussianNaiveDriver
+from .pin import pin_cov_solve
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+_STREAM_STEP_CACHE = {}
+
+
+def build_streamed_chunk_step():
+    """Optimistic lambda-chunk scan: per-lambda pin solves with deviance
+    early exit and sweep budget, NO full-matrix gradient / KKT (those run
+    streamed afterwards).  Shapes specialize at call time."""
+
+    @jax.jit
+    def chunk_step(
+        A, Xs, means_s,
+        slot_begin, slot_size, eigvals, eigvecs, penalty_slots,
+        beta0, active0,
+        resid0, w,
+        lmdas, valid,
+        alpha, tol, dbeta_tol, newton_tol,
+        newton_max_iters, max_iters, rsq0,
+        y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
+        sweep_budget, intercept_on,
+    ):
+        dtype = beta0.dtype
+
+        def per_lambda(carry, inp):
+            beta, active, resid, rsq, stopped, prev_dev, have_prev, cum = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                beta, active, resid, rsq, stopped, prev_dev, have_prev, cum = args
+                resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
+                vw = w * resid
+                grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
+                grad_s = jnp.where(
+                    intercept_on, grad_s - means_s * resid_sum0, grad_s
+                )
+
+                beta_n, _, active_n, rsq_n, iters, done = pin_cov_solve(
+                    A, grad_s, beta, slot_begin, slot_size, eigvals, eigvecs,
+                    penalty_slots, active, lmda, alpha, tol, dbeta_tol,
+                    newton_tol, newton_max_iters, max_iters, rsq,
+                )
+
+                dbeta = beta_n - beta
+                resid_n = resid - jnp.matmul(Xs, dbeta, precision=_PRECISION)
+                resid_sum = jnp.vdot(w, resid_n, precision=_PRECISION)
+
+                dev = jnp.where(y_var > 0, rsq_n / y_var, 0.0)
+                early = early_exit_on & done & (
+                    (dev >= adev_tol)
+                    | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
+                )
+                cum_n = cum + iters
+                stopped_n = (~done) | early | (cum_n >= sweep_budget)
+
+                carry_n = (beta_n, active_n, resid_n, rsq_n, stopped_n,
+                           jnp.where(done, dev, prev_dev), have_prev | done,
+                           cum_n)
+                emit = (beta_n, active_n, rsq_n, resid_sum, done, dev, early,
+                        jnp.ones((), bool), iters)
+                return carry_n, emit
+
+            def skip(args):
+                beta, active, *_ = args
+                emit = (beta, active, jnp.zeros((), dtype),
+                        jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), bool), jnp.zeros((), jnp.int32))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, resid0, rsq0, jnp.zeros((), bool),
+                prev_dev, have_prev_dev, jnp.zeros((), jnp.int32))
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+def get_streamed_chunk_step():
+    hit = _STREAM_STEP_CACHE.get("chunk")
+    if hit is None:
+        hit = _STREAM_STEP_CACHE["chunk"] = build_streamed_chunk_step()
+    return hit
+
+
+@jax.jit
+def residual_stack(resid0, Xs, betas_e, beta0, w):
+    """Per-lambda residuals/weighted residuals from emitted betas.
+
+    resid_c = resid0 - Xs @ (beta_c - beta0);  U_c = w * resid_c.
+    Returns (U (C, n), resid_sums (C,))."""
+    dB = betas_e - beta0[None, :]                    # (C, S_cap)
+    R = resid0[None, :] - jnp.einsum(
+        "cs,ns->cn", dB, Xs, precision=_PRECISION
+    )
+    U = R * w[None, :]
+    rsums = jnp.einsum("cn,n->c", R, w, precision=_PRECISION)
+    return U, rsums
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "intercept"))
+def kkt_finalize(
+    Gfull, X_means, rsums, lmdas, alpha,
+    penalty_cols, betas_e, cols_padded, group_ids, penalty_groups,
+    screen_mask, num_groups, intercept,
+):
+    """Per-lambda abs_grad + KKT verdicts from the streamed (p, C) gradient
+    stack (reference update_abs_grad solver_base.hpp:21-110 + kkt
+    :410-433, vectorized over the whole lambda chunk)."""
+    G = Gfull - X_means[:, None] * rsums[None, :] if intercept else Gfull
+    ok = cols_padded >= 0
+    safe = jnp.where(ok, cols_padded, 0)
+    Bcols = jnp.zeros_like(G).at[safe, :].set(
+        jnp.where(ok[:, None], betas_e.T, 0.0), mode="drop"
+    )
+    l2s = (1.0 - alpha) * jnp.minimum(lmdas, 1e30)   # (C,)
+    gadj = G - (penalty_cols[:, None] * Bcols) * l2s[None, :]
+    sq = jax.ops.segment_sum(gadj * gadj, group_ids, num_segments=num_groups)
+    abs_grad_all = jnp.sqrt(jnp.maximum(sq, 0.0))    # (G, C)
+    viol = abs_grad_all > lmdas[None, :] * alpha * penalty_groups[:, None]
+    kkts = ~jnp.any(viol & ~screen_mask[:, None], axis=0)
+    return abs_grad_all, kkts, G
+
+
+@jax.jit
+def _resid_at(resid0, Xs, beta_t, beta0):
+    return resid0 - jnp.matmul(Xs, beta_t - beta0, precision=_PRECISION)
+
+
+class StreamedGaussianDriver(GaussianNaiveDriver):
+    """Gaussian BASIL driver over a host-streamed matrix.
+
+    Reuses ``GaussianNaiveDriver.solve_path`` (screening, chunk
+    scheduling) with ``_run_chunk`` replaced by the optimistic-fit +
+    streamed-KKT + certify protocol described in the module docstring.
+    """
+
+    def __init__(self, state):
+        self.s = state
+        self._chunk_step = get_streamed_chunk_step()
+        self._step = None                  # single-lambda fused step unused
+        self._X_data = None
+        self._prev_dev = 0.0
+        self._have_prev_dev = False
+        self._is_screen_dev = None
+        self._is_screen_version = -1
+        self._penalty_groups_dev = jnp.asarray(
+            state.penalty.astype(state.dtype)
+        )
+
+    def fit(self, lmda):  # pragma: no cover - solve_path never calls it
+        raise NotImplementedError(
+            "streamed driver runs chunked solve_path only"
+        )
+
+    def _run_chunk(self, lmdas, record):
+        s = self.s
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+        if cache.A is None:
+            cache.rebuild_weighted(s.weights, s.intercept)
+
+        dtype = s.dtype
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        resid0 = s.resid
+        lm_dev = jnp.asarray(lm_pad, dtype)
+
+        carry, emits = self._chunk_step(
+            cache.A, cache.Xs, cache.means_s,
+            cache.slot_begin, cache.slot_size, cache.eigvals, cache.eigvecs,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            resid0, s.weights,
+            lm_dev, jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(s.tol, dtype),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.rsq, dtype),
+            jnp.asarray(s.y_var, dtype), jnp.asarray(s.adev_tol, dtype),
+            jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+            jnp.asarray(configs.chunk_sweep_budget, jnp.int32),
+            jnp.asarray(bool(s.intercept)),
+        )
+        (betas_e, actives_e, rsqs_e, rsums_e, dones_e, devs_e, earlys_e,
+         processed_e, iters_e) = emits
+
+        (dones, devs, earlys, processed, rsqs, rsums_h, iters_np) = \
+            jax.device_get((dones_e, devs_e, earlys_e, processed_e, rsqs_e,
+                            rsums_e, iters_e))
+        if np.any(processed & ~dones):
+            raise MaxCDsError(int(np.argmax(processed & ~dones)))
+        n_proc = int(processed.sum())
+        if n_proc == 0:
+            s.benchmark["fit_screen"].append(sw.elapsed())
+            return 0, False, True
+
+        # ---- streamed KKT: ONE pass over the packed bytes for the chunk ---
+        sw_k = Stopwatch().start()
+        U, rsums_dev = residual_stack(
+            resid0, cache.Xs, betas_e, beta0_dev, s.weights
+        )
+        Gfull = s.X.mul_many(U)                       # (p, C) streamed
+        abs_grad_all, kkts, Gstack = kkt_finalize(
+            Gfull, s.X_means, rsums_dev, lm_dev,
+            jnp.asarray(s.alpha, dtype),
+            s._penalty_cols, betas_e, cache.cols_padded, s._group_ids,
+            self._penalty_groups_dev, self._screen_mask(),
+            len(s.groups), bool(s.intercept),
+        )
+        kkts_h = np.asarray(jax.device_get(kkts))
+        s.benchmark["kkt"].append(sw_k.elapsed())
+
+        # ---- certify: accepted prefix ends at the first KKT failure ------
+        fails = np.flatnonzero(~kkts_h[:n_proc])
+        if self.pin_mode:
+            fails = np.zeros(0, int)
+        if len(fails):
+            t = int(fails[0])
+            n_acc = t
+            kkt_clean = False
+            early_stopped = False
+        else:
+            t = n_proc - 1
+            n_acc = n_proc
+            kkt_clean = True
+            early_stopped = bool(earlys[:n_proc].any())
+
+        # ---- record accepted solutions ----------------------------------
+        if record and n_acc:
+            S_val = cache.S_val
+            G_s = len(s.screen_set)
+            betas_acc, actives_acc = jax.device_get(
+                (betas_e[:n_acc], actives_e[:n_acc])
+            )
+            for i in range(n_acc):
+                self._record(
+                    lm_pad[i], np.asarray(betas_acc[i][:S_val]),
+                    rsqs[i], rsums_h[i], cache,
+                )
+                s.n_valid_solutions.append(True)
+                s.active_sizes.append(int(np.asarray(actives_acc[i]).sum()))
+                s.screen_sizes.append(len(s.screen_set))
+                s.benchmark["cd_iters"].append(int(iters_np[i]))
+                s.benchmark["cd_updates"].append(int(iters_np[i]) * G_s)
+
+        # ---- advance state to the target iterate (reference keeps the
+        # failed fit's iterate for the retry, solver_base.hpp:605-686) -----
+        beta_t = betas_e[t]
+        active_t = actives_e[t]
+        beta_h, active_h, agrad_h, grad_col = jax.device_get(
+            (beta_t, active_t, abs_grad_all[:, t], Gstack[:, t])
+        )
+        s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+        s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+        s.resid = _resid_at(resid0, cache.Xs, beta_t, beta0_dev)
+        s.rsq = float(rsqs[t])
+        s.resid_sum = float(rsums_h[t])
+        s.abs_grad = np.asarray(agrad_h)
+        s.grad = jnp.asarray(grad_col)
+        s.lmda = float(lm_pad[t])
+        if record and n_acc:
+            self._prev_dev = float(devs[n_acc - 1])
+            self._have_prev_dev = True
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        return n_acc, early_stopped, kkt_clean

@@ -182,6 +182,34 @@ def test_snp_mul_pallas_parity():
         np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-4)
 
 
+def test_snp_mul_many_pallas_parity():
+    """Multi-residual fused decode-matmul vs numpy dense (interpret mode).
+
+    This is the streamed-KKT workhorse: one pass over the packed bytes
+    computes X^T u_c for every residual stream c of a lambda chunk."""
+    import jax.numpy as jnp
+    from adelie_tpu.matrix._snp_pallas import snp_mul_many_pallas
+    from adelie_tpu.matrix._snp import unpack_2bit_np
+
+    rng = np.random.default_rng(1)
+    for (p, n, C) in [(10, 9, 3), (300, 257, 8), (513, 1000, 1)]:
+        nb = (n + 3) // 4
+        packed = rng.integers(0, 256, size=(p, nb), dtype=np.int64).astype(np.uint8)
+        rem = n % 4
+        if rem:
+            packed[:, -1] &= (1 << (2 * rem)) - 1
+        impute = rng.uniform(0, 2, p).astype(np.float32)
+        U = rng.standard_normal((C, n)).astype(np.float32)
+        codes = unpack_2bit_np(packed, n).astype(np.float32)
+        dense = np.where(codes == 3, impute[:, None], codes)
+        expect = dense @ U.T                       # (p, C)
+        got = np.asarray(snp_mul_many_pallas(
+            jnp.asarray(packed), jnp.asarray(U), jnp.asarray(impute),
+            interpret=True,
+        ))
+        np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-4)
+
+
 def test_corrupt_file_errors():
     """Garbage bytes must raise a clean RuntimeError, not an allocation
     blowup from garbage header dims."""

@@ -1,0 +1,160 @@
+"""Host-streamed SNP matrix + streamed-KKT gaussian driver.
+
+The streamed path (matrix/_snp_stream.py + solver/streamed.py) is the
+out-of-HBM architecture for the 1M-SNP north star; these tests pin it to
+the in-HBM path exactly (same decode, same solver math, different
+orchestration) on the CPU backend with small tiles forcing multi-tile
+sweeps.
+"""
+
+import numpy as np
+import pytest
+
+import adelie_tpu as ad
+from adelie_tpu.configs import configs, set_configs
+from adelie_tpu.matrix._snp import unpack_2bit_np
+
+
+def _make_io(tmp_path, n, p, seed=0, name="s.snpdat"):
+    data = ad.data.snp_unphased(n, p, seed=seed)
+    f = str(tmp_path / name)
+    ad.io.snp_unphased(f).write(data["X"])
+    return ad.io.snp_unphased(f).read(), data
+
+
+def _dense_of(io):
+    codes = unpack_2bit_np(np.asarray(io.packed), io.rows()).astype(float)
+    return np.where(codes == 3, np.asarray(io.impute)[:, None], codes).T
+
+
+def test_streamed_matrix_ops(tmp_path):
+    io, _ = _make_io(tmp_path, 70, 40)
+    m = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16, dtype=np.float64)
+    assert m._ntiles == 3
+    dense = _dense_of(io)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(70)
+    w = rng.uniform(0.1, 1, 70)
+    w /= w.sum()
+    np.testing.assert_allclose(
+        np.asarray(m.mul(v, w)), dense.T @ (w * v), atol=1e-10
+    )
+    U = rng.standard_normal((5, 70))
+    np.testing.assert_allclose(
+        np.asarray(m.mul_many(U)), dense.T @ U.T, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.sq_mul(w)), (dense ** 2).T @ w, atol=1e-10
+    )
+    beta = np.zeros(40)
+    beta[[1, 17, 39]] = [1.5, -2.0, 0.5]
+    np.testing.assert_allclose(
+        np.asarray(m.tmul(beta)), dense @ beta, atol=1e-10
+    )
+    idx = np.asarray([0, 13, 25, 39])
+    np.testing.assert_allclose(
+        np.asarray(m.gather(idx)), dense[:, idx], atol=1e-12
+    )
+    with pytest.raises(NotImplementedError):
+        m.mul_spec()
+
+
+def test_streamed_grpnet_matches_inhbm_lasso(tmp_path):
+    """Full BASIL (screening forced) streamed vs in-HBM: identical paths."""
+    io1, data = _make_io(tmp_path, 300, 96, seed=7)
+    io2 = ad.io.snp_unphased(io1.filename).read() if hasattr(io1, "filename") \
+        else io1
+    try:
+        set_configs("screen_all_max", 0)   # force real BASIL screening/KKT
+        m_h = ad.matrix.snp_unphased(io1, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, data["glm"], lmda_path_size=12, min_ratio=0.05,
+                         progress_bar=False)
+        m_s = ad.matrix.snp_unphased(io1, streaming=True, tile_snps=32,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, data["glm"], lmda_path_size=12, min_ratio=0.05,
+                         progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    B_h = np.asarray(st_h.betas.todense())
+    B_s = np.asarray(st_s.betas.todense())
+    assert (B_h != 0).sum() > 0
+    assert B_h.shape == B_s.shape
+    np.testing.assert_allclose(B_h, B_s, atol=1e-9)
+    np.testing.assert_allclose(st_h.intercepts, st_s.intercepts, atol=1e-9)
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-9)
+
+
+def test_streamed_grpnet_groups_elastic_net(tmp_path):
+    """Group elastic net (alpha<1 exercises the l2-adjusted KKT scatter),
+    no intercept."""
+    io, data = _make_io(tmp_path, 250, 80, seed=13, name="g.snpdat")
+    groups = np.arange(0, 80, 4)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, data["glm"], groups=groups, alpha=0.7,
+                         intercept=False, lmda_path_size=10, min_ratio=0.05,
+                         progress_bar=False)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, data["glm"], groups=groups, alpha=0.7,
+                         intercept=False, lmda_path_size=10, min_ratio=0.05,
+                         progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    np.testing.assert_allclose(
+        np.asarray(st_h.betas.todense()), np.asarray(st_s.betas.todense()),
+        atol=1e-9,
+    )
+
+
+def test_streamed_auto_factory(tmp_path):
+    from adelie_tpu.matrix._snp import MatrixNaiveSNPUnphased
+    from adelie_tpu.matrix._snp_stream import MatrixNaiveSNPUnphasedStreamed
+
+    io, _ = _make_io(tmp_path, 60, 30, seed=1, name="a.snpdat")
+    m = ad.matrix.snp_unphased(io)           # auto: tiny -> in-HBM
+    assert isinstance(m, MatrixNaiveSNPUnphased)
+    try:
+        set_configs("snp_hbm_budget", 4)     # 4 bytes -> force streaming
+        m2 = ad.matrix.snp_unphased(io)
+        assert isinstance(m2, MatrixNaiveSNPUnphasedStreamed)
+    finally:
+        set_configs("snp_hbm_budget", None)
+
+
+def test_streamed_guards(tmp_path):
+    io, data = _make_io(tmp_path, 60, 30, seed=2, name="b.snpdat")
+    m = ad.matrix.snp_unphased(io, streaming=True, dtype=np.float64)
+    y01 = (np.asarray(data["glm"].y) > np.median(np.asarray(data["glm"].y)))
+    with pytest.raises(NotImplementedError, match="streamed"):
+        ad.grpnet(m, ad.glm.binomial(y01.astype(float)), lmda_path_size=3,
+                  progress_bar=False)
+
+
+def test_streamed_grpnet_mesh(tmp_path):
+    """Streamed + mesh-sharded tiles (GSPMD over the byte axis) equals the
+    unsharded streamed fit."""
+    from adelie_tpu import parallel
+
+    io, data = _make_io(tmp_path, 320, 64, seed=5, name="m.snpdat")
+    try:
+        set_configs("screen_all_max", 0)
+        m1 = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                    dtype=np.float64)
+        st1 = ad.grpnet(m1, data["glm"], lmda_path_size=8, min_ratio=0.1,
+                        progress_bar=False)
+        mesh = parallel.make_mesh(8)
+        m2 = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                    dtype=np.float64, mesh=mesh)
+        st2 = ad.grpnet(m2, data["glm"], lmda_path_size=8, min_ratio=0.1,
+                        progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st1.error == "" and st2.error == ""
+    np.testing.assert_allclose(
+        np.asarray(st1.betas.todense()), np.asarray(st2.betas.todense()),
+        atol=1e-9,
+    )
