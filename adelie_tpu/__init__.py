@@ -49,6 +49,11 @@ from .solver import grpnet, gaussian_cov  # noqa: E402
 
 def __getattr__(name):
     # lazy subpackages to keep import light
+    if name == "prewarm":
+        from ._prewarm import prewarm
+
+        globals()["prewarm"] = prewarm
+        return prewarm
     if name in ("constraint", "cv", "diagnostic", "io", "optimization",
                 "sklearn", "state", "parallel"):
         import importlib

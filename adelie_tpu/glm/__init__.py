@@ -288,9 +288,15 @@ def cox(
     dtype=None,
     **kwargs,
 ):
-    """Cox partial likelihood GLM (reference glm.py:199-330)."""
-    from ._cox import GlmCox
+    """Cox partial likelihood GLM (reference glm.py:199-330).
 
+    ``start=None`` means no left truncation: every subject enters the risk
+    set at -inf (plain right-censored survival data)."""
+    from ._cox import GlmCox
+    import numpy as _np
+
+    if start is None and stop is not None:
+        start = _np.full(_np.asarray(stop).shape, -_np.inf)
     return GlmCox(
         start=start,
         stop=stop,

@@ -195,3 +195,18 @@ def test_cox_f32_deep_path_completes():
         np.asarray(st.betas.todense()), np.asarray(st64.betas.todense()),
         atol=5e-3,
     )
+
+
+def test_cox_start_none_means_no_truncation():
+    """start=None (plain right-censored data) equals start=-inf."""
+    rng = np.random.default_rng(5)
+    n = 40
+    stop = rng.exponential(1, n)
+    status = (rng.random(n) < 0.7).astype(float)
+    g1 = ad.glm.cox(stop=stop, status=status)
+    g2 = ad.glm.cox(start=np.full(n, -np.inf), stop=stop, status=status)
+    eta = rng.standard_normal(n)
+    np.testing.assert_allclose(float(g1.loss(eta)), float(g2.loss(eta)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1.gradient(eta)),
+                               np.asarray(g2.gradient(eta)), atol=1e-12)
