@@ -138,16 +138,18 @@ _SEPARABLE_GLMS = ("binomial_logit", "binomial_probit", "poisson")
 
 
 def _can_batch(X, glm, grpnet_params):
-    """Fold batching: the gaussian fast path, or a separable single-
-    response GLM (weights enter only elementwise, so the fold axis vmaps
-    through the fused IRLS).  Cox/multi/constrained fall back to serial."""
+    """Fold batching: the gaussian fast path, a separable single-response
+    GLM (weights enter only elementwise), or cox (whose weight-derived
+    tie/at-risk arrays are recomputed on device per fold,
+    GlmCox.weight_bundle) — in all cases the fold axis vmaps through the
+    fused IRLS.  Multi/constrained fall back to serial."""
     if getattr(glm, "is_multi", False):
         return False
     if grpnet_params.get("constraints") is not None:
         return False
     if glm.name == "gaussian" and getattr(glm, "opt", False):
         return True
-    return glm.name in _SEPARABLE_GLMS
+    return glm.name in _SEPARABLE_GLMS or glm.name == "cox"
 
 
 def cv_grpnet(

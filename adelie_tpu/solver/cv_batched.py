@@ -358,9 +358,14 @@ def _with_weights(glm, w):
     weights only through ``self.weights`` in elementwise products, so a
     shallow copy with a traced weights array yields weight-parameterized
     jittable ops — the device-side analog of the reference's
-    ``glm.reweight`` (reference glm.py).  Cox is NOT separable (its
-    at-risk machinery depends on weights) and is excluded by the caller.
+    ``glm.reweight`` (reference glm.py).  Cox gets a dedicated device view:
+    its index machinery is weight-independent and every weight-derived
+    array (tie means/sizes, Efron scale) is recomputed on device by
+    ``GlmCox.weight_bundle``, so the fold axis vmaps straight through the
+    at-risk suffix sums.
     """
+    if getattr(glm, "name", "") == "cox":
+        return glm.with_weights(w)
     import copy
 
     g = copy.copy(glm)
