@@ -114,10 +114,13 @@ def snp_unphased(
     missing_ratio: float = 0.1,
     snr: float = 1.0,
     seed: int = 0,
+    dtype=None,
 ):
     """Simulated SNP unphased calldata (reference data.py:222).
 
-    ``X`` entries are in {0, 1, 2, -9 (NA)}.
+    ``X`` entries are in {0, 1, 2, -9 (NA)}.  ``dtype`` sets the response/
+    glm dtype (pass float32 on x64-disabled runtimes to avoid truncation
+    warnings).
     """
     rng = np.random.default_rng(seed)
     probs = np.array([
@@ -137,6 +140,8 @@ def snp_unphased(
     signal_var = float(np.var(eta))
     noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
     y = eta + noise * rng.standard_normal(n)
+    if dtype is not None:
+        y = y.astype(dtype)
 
     return {"X": X, "glm": glm_mod.gaussian(y), "y": y, "beta": beta}
 
