@@ -60,6 +60,48 @@ def screen_gram(Xs, w, intercept: bool):
     return A, means
 
 
+@jax.jit
+def insert_cols(Xs, Xnew, s_old):
+    """Splice newly gathered screen columns into the padded block at the
+    (traced) old S_val offset; one compile per (cap, dS_pad) shape pair."""
+    return jax.lax.dynamic_update_slice(
+        Xs, Xnew, (jnp.zeros((), jnp.int32), s_old.astype(jnp.int32))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("intercept",))
+def screen_gram_extend(A_pad, Xs, Xnew, w, means_pad, s_old, intercept: bool):
+    """Incrementally extend the screen Gram after screen-set growth.
+
+    The BASIL screen set only ever grows by appending groups
+    (``extend_screen_set``), so the old Gram is the leading principal block
+    of the new one.  Instead of recomputing the full (S, S) Gram (one
+    S^2 n matmul — the dominant non-CD cost late in the path, BENCH_r02
+    kernels.screen_gram), compute only the new cross block
+    ``Xs^T diag(w) Xnew`` (S x dS, cost S dS n) and scatter it into the
+    padded buffers.  ``A_pad``/``means_pad`` are already padded to the new
+    capacities with the old values in their leading block; ``Xs`` already
+    contains the new columns (insert_cols); ``Xnew`` is the (n, dS_pad)
+    zero-padded buffer of the new columns and ``s_old`` the (traced) old
+    S_val offset.
+
+    Returns (A, means) identical (up to f.p. association) to a full
+    ``screen_gram`` over the extended block.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    s_old = s_old.astype(jnp.int32)
+    means_new = jnp.einsum("nd,n->d", Xnew, w, precision=_PRECISION)
+    means = jax.lax.dynamic_update_slice(means_pad, means_new, (s_old,))
+    cross = jnp.einsum(
+        "ns,nd->sd", Xs, Xnew * w[:, None], precision=_PRECISION
+    )
+    if intercept:
+        cross = cross - means[:, None] * means_new[None, :]
+    A = jax.lax.dynamic_update_slice(A_pad, cross, (zero, s_old))
+    A = jax.lax.dynamic_update_slice(A, cross.T, (s_old, zero))
+    return A, means
+
+
 @functools.partial(jax.jit, static_argnames=("qmax",))
 def screen_eigh(A, slot_begin, slot_size, qmax: int):
     """Batched eigendecomposition of the per-group diagonal blocks of A.
@@ -277,9 +319,9 @@ def pin_cov_solve(
     converged).
     """
     dtype = beta.dtype
-    # lasso fast path: the whole solve as ONE Pallas kernel with all state
+    # Pallas fast paths: the whole solve as ONE kernel with all state
     # VMEM-resident (pin_pallas.py); trace-time dispatch, TPU only
-    from .pin_pallas import MAX_PALLAS_S
+    from .pin_pallas import MAX_PALLAS_Q, MAX_PALLAS_S
 
     if (
         eigvals.shape[1] == 1
@@ -290,6 +332,19 @@ def pin_cov_solve(
         return _pin_lasso_pallas_dispatch(
             A, grad, beta, slot_begin, slot_size, eigvals, penalty,
             is_active, lmda, alpha, tol, dbeta_tol, max_iters, rsq,
+        )
+    if (
+        1 < eigvals.shape[1] <= MAX_PALLAS_Q
+        and A.shape[0] <= MAX_PALLAS_S
+        and A.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from .pin_pallas import pin_group_solve_pallas
+
+        return pin_group_solve_pallas(
+            A, grad, beta, slot_begin, slot_size, eigvals, eigvecs, penalty,
+            is_active, lmda, alpha, tol, dbeta_tol, newton_tol,
+            max_iters.astype(A.dtype), rsq,
         )
 
     l1 = lmda * alpha

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..configs import configs
 from ..utils import bucket, bucket_pow2
-from .pin import screen_eigh, screen_gram
+from .pin import insert_cols, screen_eigh, screen_gram, screen_gram_extend
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -104,9 +104,28 @@ class ScreenCache:
         self.means_s = None
         self.eigvals = None
         self.eigvecs = None
+        # incremental-extension bookkeeping
+        self._weights_ref = None   # weights array A/means were built with
+        self._pending_ext = None   # (s_old, Xnew_buf) awaiting rebuild_weighted
+        self._prev_ss = None       # screen_set snapshot of last rebuild
+        self._A_prev = None        # incremental base for screen_gram_extend
+        self._means_prev = None
 
     def rebuild_structure(self, state):
-        """Re-gather columns after a screen-set change."""
+        """Re-gather columns after a screen-set change.
+
+        The screen set only grows by appending groups, so when the previous
+        gather is a prefix of the new one we gather ONLY the new columns and
+        (in rebuild_weighted, if the weights are unchanged) extend the Gram
+        with one S x dS cross matmul instead of recomputing S^2
+        (screen_gram_extend; addresses the screen-Gram recompute cost
+        flagged at 43% MXU share in BENCH_r02).
+        """
+        if self._try_extend_structure(state):
+            return
+        self._full_rebuild_structure(state)
+
+    def _full_rebuild_structure(self, state):
         ss = state.screen_set
         gs = state.group_sizes[ss]
         begins = np.concatenate([[0], np.cumsum(gs)])[:-1]
@@ -151,10 +170,139 @@ class ScreenCache:
         self.begins_host = begins
         self.sizes_host = gs
         self.A = None  # force weight-dependent rebuild
+        self._pending_ext = None
+        self._A_prev = None
+        self._means_prev = None
+        self._prev_ss = np.asarray(ss).copy()
+
+    def _try_extend_structure(self, state):
+        """Append-only fast path: gather just the new columns; stash the
+        extension so rebuild_weighted can extend the Gram incrementally."""
+        ss = state.screen_set
+        prev = self._prev_ss
+        if (
+            prev is None
+            or self.Xs is None
+            or self._pending_ext is not None   # don't stack unapplied exts
+            or len(ss) < len(prev)
+            or len(ss) == len(prev)
+            or not np.array_equal(ss[: len(prev)], prev)
+        ):
+            return False
+        new_groups = np.asarray(ss[len(prev):], int)
+        gs_new = state.group_sizes[new_groups]
+        qmax_new = bucket_pow2(int(max(int(gs_new.max()), 1)))
+        if qmax_new > self.qmax:
+            return False                       # eigh block shape changes
+        s_old = self.S_val
+        dS = int(gs_new.sum())
+        S_val = s_old + dS
+        S_cap = bucket(S_val + self.qmax, configs.screen_cap_min)
+        G_cap = bucket(len(ss), configs.group_cap_min)
+        dS_pad = bucket_pow2(dS)
+        if s_old + dS_pad > S_cap:
+            return False                       # buffer layout won't fit
+        mesh = getattr(state.X, "_mesh", None)
+
+        dtype = state.dtype
+        new_cols = np.concatenate(
+            [np.arange(state.groups[g], state.groups[g] + state.group_sizes[g])
+             for g in new_groups]
+        ).astype(np.int64)
+        Xnew = jnp.zeros((state.n, dS_pad), dtype)
+        Xnew = Xnew.at[:, :dS].set(
+            jnp.asarray(state.X.gather(new_cols.astype(np.int32)), dtype)
+        )
+
+        # grow the structural buffers (static-shape pads keyed on the
+        # bounded (old_cap, new_cap) bucket pairs)
+        Xs = self.Xs
+        if S_cap != self.S_cap:
+            Xs = jnp.zeros((state.n, S_cap), dtype).at[:, : self.S_cap].set(Xs)
+        if mesh is not None:
+            from ..parallel import shard_rows
+
+            Xnew = shard_rows(Xnew, mesh)
+            Xs = shard_rows(Xs, mesh)
+        # splice the new columns in eagerly: consumers that never call
+        # rebuild_weighted (the IRLS fused step computes its Gram on device
+        # from cache.Xs directly) must see a current block
+        Xs = insert_cols(Xs, Xnew, jnp.asarray(s_old, jnp.int32))
+        if mesh is not None:
+            from ..parallel import shard_rows
+
+            Xs = shard_rows(Xs, mesh)
+
+        cols = np.concatenate([self.cols, new_cols])
+        begins = np.concatenate(
+            [self.begins_host,
+             s_old + np.concatenate([[0], np.cumsum(gs_new)])[:-1]]
+        ).astype(self.begins_host.dtype)
+        sizes = np.concatenate([self.sizes_host, gs_new])
+        cols_padded = np.full(S_cap, -1, np.int32)
+        cols_padded[:S_val] = cols
+        slot_begin = np.zeros(G_cap, np.int32)
+        slot_size = np.zeros(G_cap, np.int32)
+        penalty_slots = np.ones(G_cap, dtype)
+        slot_begin[: len(ss)] = begins
+        slot_size[: len(ss)] = sizes
+        penalty_slots[: len(ss)] = state.penalty[ss]
+
+        self.cols = cols
+        self.S_val, self.S_cap, self.G_cap = S_val, S_cap, G_cap
+        self.Xs = Xs
+        self.cols_padded = jnp.asarray(cols_padded)
+        self.slot_begin = jnp.asarray(slot_begin)
+        self.slot_size = jnp.asarray(slot_size)
+        self.penalty_slots = jnp.asarray(penalty_slots)
+        self.begins_host = begins
+        self.sizes_host = sizes
+        self._prev_ss = np.asarray(ss).copy()
+        self._pending_ext = (s_old, Xnew)
+        # stash the old weighted quantities as the incremental base (may be
+        # None if rebuild_weighted never ran for the previous structure, in
+        # which case rebuild_weighted falls back to a full recompute)
+        self._A_prev = self.A
+        self._means_prev = self.means_s
+        self.A = None
+        return True
 
     def rebuild_weighted(self, weights, intercept):
-        """(Re)compute Gram + eigendecompositions for given weights."""
-        self.A, self.means_s = screen_gram(self.Xs, weights, intercept)
+        """(Re)compute Gram + eigendecompositions for given weights.
+
+        If an append-only screen extension is pending and the weights are
+        the SAME array the previous Gram was built with (gaussian drivers:
+        always; IRLS: never — weights change each iteration), extend the
+        Gram incrementally; otherwise recompute in full.
+        """
+        ext = self._pending_ext
+        if (
+            ext is not None
+            and self._A_prev is not None
+            and weights is self._weights_ref
+        ):
+            s_old, Xnew = ext
+            A_pad = self._A_prev
+            means_pad = self._means_prev
+            if A_pad.shape[0] != self.S_cap:
+                A_pad = (
+                    jnp.zeros((self.S_cap, self.S_cap), A_pad.dtype)
+                    .at[: A_pad.shape[0], : A_pad.shape[1]].set(A_pad)
+                )
+                means_pad = (
+                    jnp.zeros((self.S_cap,), means_pad.dtype)
+                    .at[: means_pad.shape[0]].set(means_pad)
+                )
+            self.A, self.means_s = screen_gram_extend(
+                A_pad, self.Xs, Xnew, weights, means_pad,
+                jnp.asarray(s_old, jnp.int32), intercept,
+            )
+        else:
+            self.A, self.means_s = screen_gram(self.Xs, weights, intercept)
+        self._pending_ext = None
+        self._weights_ref = weights
+        self._A_prev = self.A
+        self._means_prev = self.means_s
         self.eigvals, self.eigvecs = screen_eigh(
             self.A, self.slot_begin, self.slot_size, self.qmax
         )

@@ -68,6 +68,99 @@ def test_pallas_matches_xla(S, n_invalid, lmda, alpha):
         assert not np.any(np.asarray(out_p[2])[-n_invalid:])
 
 
+def _group_problem(n, G, qmax, seed, ragged=True):
+    """Random grouped screen problem with ragged group sizes <= qmax and
+    trailing invalid slots."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(1, qmax + 1, G) if ragged else np.full(G, qmax)
+    begins = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    S_val = int(begins[-1] + sizes[-1])
+    S = S_val + qmax  # pad capacity like ScreenCache (S_cap >= S_val + qmax)
+    X = rng.standard_normal((n, S_val))
+    A = np.zeros((S, S), np.float32)
+    A[:S_val, :S_val] = (X.T @ X / n).astype(np.float32)
+    y = X @ (rng.standard_normal(S_val) * (rng.random(S_val) < 0.3))
+    y = y + 0.1 * rng.standard_normal(n)
+    grad = np.zeros(S, np.float32)
+    grad[:S_val] = (X.T @ y / n).astype(np.float32)
+
+    G_cap = G + 2  # trailing invalid slots
+    slot_begin = np.zeros(G_cap, np.int32)
+    slot_size = np.zeros(G_cap, np.int32)
+    slot_begin[:G] = begins
+    slot_size[:G] = sizes
+    pen = np.ones(G_cap, np.float32)
+    pen[:G] = np.sqrt(sizes)
+    eigvals, eigvecs = screen_eigh(
+        jnp.asarray(A), jnp.asarray(slot_begin), jnp.asarray(slot_size), qmax
+    )
+    return (jnp.asarray(A), jnp.asarray(grad), jnp.asarray(slot_begin),
+            jnp.asarray(slot_size), eigvals, eigvecs, jnp.asarray(pen),
+            S, G_cap)
+
+
+@pytest.mark.parametrize("qmax,G,lmda,alpha", [
+    (4, 10, 0.1, 1.0),
+    (4, 10, 0.02, 1.0),
+    (2, 16, 0.05, 0.7),
+    (8, 6, 0.08, 1.0),
+])
+def test_group_pallas_matches_xla(qmax, G, lmda, alpha):
+    from adelie_tpu.solver.pin_pallas import pin_group_solve_pallas
+
+    n = 400
+    (A, grad, slot_begin, slot_size, eigvals, eigvecs, pen,
+     S, G_cap) = _group_problem(n, G, qmax, seed=qmax * 101 + G)
+    f = jnp.float32
+    beta0 = jnp.zeros(S, jnp.float32)
+    act = jnp.zeros(G_cap, bool)
+
+    out_x = pin_cov_solve(
+        A, grad, beta0, slot_begin, slot_size, eigvals, eigvecs, pen, act,
+        f(lmda), f(alpha), f(1e-10), f(1e-12), f(1e-9), jnp.int32(1000),
+        jnp.int32(100000), f(0.0),
+    )
+    out_p = pin_group_solve_pallas(
+        A, grad, beta0, slot_begin, slot_size, eigvals, eigvecs, pen, act,
+        f(lmda), f(alpha), f(1e-10), f(1e-12), f(1e-9),
+        f(100000), f(0.0), interpret=True,
+    )
+    assert bool(out_p[5]), "grouped kernel did not converge"
+    np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_x[1]), np.asarray(out_p[1]),
+                               atol=5e-5)
+    assert np.isclose(float(out_x[3]), float(out_p[3]), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(out_x[2]), np.asarray(out_p[2]))
+    # invalid trailing slots never activate
+    assert not np.any(np.asarray(out_p[2])[-2:])
+
+
+def test_group_pallas_warm_start():
+    from adelie_tpu.solver.pin_pallas import pin_group_solve_pallas
+
+    (A, grad, slot_begin, slot_size, eigvals, eigvecs, pen,
+     S, G_cap) = _group_problem(300, 8, 4, seed=11)
+    f = jnp.float32
+    beta0 = jnp.zeros(S, jnp.float32)
+    act = jnp.zeros(G_cap, bool)
+    args = (A, grad, beta0, slot_begin, slot_size, eigvals, eigvecs, pen,
+            act, f(0.1), f(1.0), f(1e-10), f(1e-12), f(1e-9),
+            jnp.int32(1000), jnp.int32(100000), f(0.0))
+    b1, g1, a1, r1, _, _ = pin_cov_solve(*args)
+    out_x = pin_cov_solve(A, g1, b1, slot_begin, slot_size, eigvals, eigvecs,
+                          pen, a1, f(0.02), f(1.0), f(1e-10), f(1e-12),
+                          f(1e-9), jnp.int32(1000), jnp.int32(100000), r1)
+    out_p = pin_group_solve_pallas(
+        A, g1, b1, slot_begin, slot_size, eigvals, eigvecs, pen, a1,
+        f(0.02), f(1.0), f(1e-10), f(1e-12), f(1e-9), f(100000), r1,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
+                               atol=5e-5)
+    assert np.isclose(float(out_x[3]), float(out_p[3]), atol=5e-4)
+
+
 def test_pallas_warm_start():
     """Warm-started solve from a previous lambda matches XLA."""
     n, S = 200, 32
