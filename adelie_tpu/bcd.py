@@ -280,6 +280,9 @@ def newton_solver(L, v, l1, l2, tol=1e-12, max_iters=1000, method="newton_abs"):
         (newton.hpp:155)
       - ``brent``: pure Brent bracketing (brent.hpp:11)
     """
+    from .utils import types
+
+    method = types.newton_method(method, param="method")
     L = jnp.asarray(L)
     v = jnp.asarray(v)
     dtype = v.dtype
@@ -438,6 +441,9 @@ def solve(
 
     Returns a dict with ``beta``, ``iters``.
     """
+    from .utils import types
+
+    solver = types.bcd_solver(solver, param="solver")
     quad = jnp.asarray(quad)
     linear = jnp.asarray(linear)
     if solver in ("ista", "fista", "fista_adares"):

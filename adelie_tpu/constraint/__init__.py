@@ -130,11 +130,9 @@ class ConstraintBase:
                  method="proximal_newton", slack=1e-4,
                  nnls_max_iters=100000, nnls_tol=1e-7,
                  pinball_max_iters=100000, pinball_tol=1e-7):
-        if method not in ("proximal_newton", "admm"):
-            raise ValueError(
-                "method must be 'proximal_newton' or 'admm', "
-                f"got {method!r}"
-            )
+        from ..utils import types
+
+        method = types.constraint_method(method, param="method")
         self._m = int(m)
         self._d = int(d)
         self.dtype = np.dtype(dtype)

@@ -265,11 +265,12 @@ def gaussian(y, weights=None, *, dtype=None, opt: bool = True, **kwargs):
 
 def binomial(y, weights=None, *, link: str = "logit", dtype=None, **kwargs):
     """Binomial GLM with logit/probit link (reference glm.py:83-199)."""
+    from ..utils import types
+
+    link = types.binomial_link(link)
     if link == "logit":
         return GlmBinomialLogit(y, weights, dtype)
-    if link == "probit":
-        return GlmBinomialProbit(y, weights, dtype)
-    raise ValueError(f"Unknown link: {link}")
+    return GlmBinomialProbit(y, weights, dtype)
 
 
 def poisson(y, weights=None, *, dtype=None, **kwargs):

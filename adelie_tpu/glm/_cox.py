@@ -42,9 +42,9 @@ class GlmCox(GlmBase):
             )
         super().__init__("cox", status, weights, dtype)
         n = status.size
-        if tie_method not in ("efron", "breslow"):
-            raise ValueError(f"Unknown tie_method: {tie_method}")
-        self.tie_method = tie_method
+        from ..utils import types
+
+        self.tie_method = types.tie_method(tie_method)
         self.start = np.asarray(start, np.float64)
         self.stop = np.asarray(stop, np.float64)
         self.status = np.asarray(status, np.float64)

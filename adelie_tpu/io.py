@@ -14,6 +14,8 @@ import threading
 
 import numpy as np
 
+from .utils import types
+
 _LIB = None
 _LOCK = threading.Lock()
 
@@ -87,10 +89,7 @@ _READ_MODES = {"file": 0, "mmap": 1, "auto": 1}
 def _lib_for(read_mode):
     """Return the codec lib with the read mode applied (reference
     io_snp_base.hpp read_mode_type: file | mmap)."""
-    if read_mode not in _READ_MODES:
-        raise ValueError(
-            f"read_mode must be one of {sorted(_READ_MODES)}, got {read_mode!r}"
-        )
+    read_mode = types.read_mode(read_mode)
     lib = _get_lib()
     lib.snpio_set_read_mode(_READ_MODES[read_mode])
     return lib
@@ -120,12 +119,7 @@ class snp_unphased:
 
     def __init__(self, filename, read_mode: str = "file"):
         self.filename = str(filename)
-        if read_mode not in _READ_MODES:
-            raise ValueError(
-                f"read_mode must be one of {sorted(_READ_MODES)}, "
-                f"got {read_mode!r}"
-            )
-        self.read_mode = read_mode
+        self.read_mode = types.read_mode(read_mode)
         self._read = False
 
     def write(self, calldata, impute_method: str = "mean", n_threads: int = 1):
@@ -341,12 +335,7 @@ class snp_phased_ancestry:
 
     def __init__(self, filename, read_mode: str = "file"):
         self.filename = str(filename)
-        if read_mode not in _READ_MODES:
-            raise ValueError(
-                f"read_mode must be one of {sorted(_READ_MODES)}, "
-                f"got {read_mode!r}"
-            )
-        self.read_mode = read_mode
+        self.read_mode = types.read_mode(read_mode)
         self._read = False
 
     def write(self, calldata, ancestries, A: int, n_threads: int = 1):

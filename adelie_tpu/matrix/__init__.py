@@ -8,6 +8,7 @@ the reference's pybind trampoline extension path (py_matrix.cpp:627-830).
 
 import numpy as np
 
+from ..utils import types
 from .base import MatrixConstraintBase, MatrixCovBase, MatrixNaiveBase
 from .dense import MatrixCovDense, MatrixCovLazy, MatrixNaiveDense
 from .wrappers import (
@@ -59,6 +60,7 @@ def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
     is sharded across it and every solver step runs SPMD with XLA-inserted
     collectives (validated to produce identical solutions in
     tests/test_mesh.py)."""
+    method = types.matrix_method(method)
     if method == "naive":
         m = MatrixNaiveDense(mat, dtype=dtype)
         from ..parallel import active_mesh, shard_rows
@@ -83,11 +85,12 @@ def block_diag(mats, *, method: str = "naive", n_threads: int = 1):
         m if isinstance(m, (MatrixNaiveBase, MatrixCovBase)) else dense(m, method=method)
         for m in mats
     ]
+    method = types.matrix_method(method)
     if method == "naive":
         return MatrixNaiveBlockDiag(mats)
     if method == "cov":
         return MatrixCovBlockDiag(mats)
-    raise ValueError(f"Unknown method: {method}")
+    raise ValueError("method 'constraint' is not supported for block_diag")
 
 
 def concatenate(mats, *, axis: int = 1, n_threads: int = 1):
@@ -159,6 +162,7 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
     """Sparse matrix (reference matrix.py:1301)."""
     from ._sparse import MatrixCovSparse, MatrixNaiveSparse
 
+    method = types.matrix_method(method)
     if method == "naive":
         return MatrixNaiveSparse(mat, dtype=dtype)
     if method == "cov":

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .. import glm as glm_mod
 from .. import matrix as matrix_mod
+from ..utils import types
 from ..logger import logger
 from . import basil
 from .basil import compute_lmda_max, compute_lmda_path, solve_core
@@ -71,6 +72,7 @@ def grpnet(
     (1-alpha)/2 ||b_g||_2^2)  with  eta = X b + b0 1 + offsets,
     over a decreasing lambda path with BASIL screening.
     """
+    screen_rule = types.screen_rule(screen_rule)
     X = _as_matrix(X)
     dtype = np.dtype(X.dtype)
     n, p = X.rows(), X.cols()

@@ -430,6 +430,9 @@ def gaussian_cov(
 ):
     """Covariance-method group elastic net (reference solver.py:39)."""
     from ..logger import logger
+    from ..utils import types
+
+    screen_rule = types.screen_rule(screen_rule)
 
     if constraints is not None and any(c is not None for c in constraints):
         from .constrained import check_constraints_supported

@@ -188,8 +188,10 @@ def css_cov(
     """Solve CSS via covariance method (reference solver.py:1274)."""
     sw = Stopwatch().start()
     S = np.asarray(S, np.float64)
-    if loss not in ("least_squares", "subset_factor", "min_det"):
-        raise ValueError(f"Unknown loss: {loss}")
+    from ..utils import types
+
+    loss = types.css_loss(loss, param="loss")
+    method = types.css_method(method, param="method")
     score = _score_fn(loss)
 
     if method == "greedy":

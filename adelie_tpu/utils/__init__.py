@@ -9,6 +9,8 @@ import time
 
 import numpy as np
 
+from . import types
+
 
 class Stopwatch:
     """Wall-clock timer (reference: util/stopwatch.hpp)."""
