@@ -47,6 +47,13 @@ class Configs:
     # instead of tripping the platform watchdog (the reference polls
     # PyErr_CheckSignals every CD iteration, py_state.cpp:70-74).
     chunk_sweep_budget: int = 1_000_000
+    # Compensated f32 reductions (utils/compensated.py): chunked-Kahan
+    # accumulation for the gradient / screen-Gram contractions, cutting the
+    # O(n) accumulation error to ~O(compensated_chunk) so f32 device paths
+    # approach the reference's f64-calibrated tolerances.  Off by default
+    # (costs one extra scan + partial buffers on the hot contractions).
+    compensated_reductions: bool = False
+    compensated_chunk: int = 4096
     # HBM byte budget for device-resident packed SNP matrices; above it the
     # snp factories pick the host-streaming matrix (tiles swept through the
     # device per full-p product, matrix/_snp_stream.py).  Default leaves

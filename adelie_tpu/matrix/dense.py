@@ -46,11 +46,24 @@ class MatrixNaiveDense(MatrixNaiveBase):
         return self._mat
 
     def mul(self, v, w):
-        return _mul(self._mat, jnp.asarray(v), jnp.asarray(w))
+        f, data = self.mul_spec()
+        return f(data, jnp.asarray(v), jnp.asarray(w))
 
     def mul_spec(self):
-        def f(data, v, w):
-            return jnp.einsum("n,np->p", v * w, data["mat"], precision=_PRECISION)
+        from ..configs import configs
+
+        if configs.compensated_reductions and getattr(self, "_mesh", None) is None:
+            from ..utils import compensated
+
+            chunk = int(configs.compensated_chunk)
+
+            def f(data, v, w):
+                return compensated.mul_tn(data["mat"], v * w, chunk=chunk)
+        else:
+            def f(data, v, w):
+                return jnp.einsum(
+                    "n,np->p", v * w, data["mat"], precision=_PRECISION
+                )
 
         return f, {"mat": self._mat}
 

@@ -42,7 +42,6 @@ _PRECISION = jax.lax.Precision.HIGHEST
 # --------------------------------------------------------------------------- #
 
 
-@functools.partial(jax.jit, static_argnames=("intercept",))
 def screen_gram(Xs, w, intercept: bool):
     """Weighted (optionally centered) Gram of the gathered screen block.
 
@@ -51,10 +50,35 @@ def screen_gram(Xs, w, intercept: bool):
     solver_gaussian_naive.hpp:53-133 computes this per group + eigh; here one
     MXU matmul for the whole screen set).  Assumes sum(w) == 1 when
     ``intercept`` (reference normalizes weights, solver.py).
+
+    With ``configs.compensated_reductions`` the contraction runs through the
+    chunked-Kahan path (utils/compensated.py) — the flag is read at trace
+    time, consistent with the configs contract.
     """
+    from ..configs import configs
+
+    if configs.compensated_reductions:
+        return _screen_gram_comp(
+            Xs, w, intercept, int(configs.compensated_chunk)
+        )
+    return _screen_gram_plain(Xs, w, intercept)
+
+
+@functools.partial(jax.jit, static_argnames=("intercept",))
+def _screen_gram_plain(Xs, w, intercept: bool):
     Xw = Xs * w[:, None]
     means = jnp.einsum("ns,n->s", Xs, w, precision=_PRECISION)
     A = jnp.einsum("ns,nt->st", Xs, Xw, precision=_PRECISION)
+    if intercept:
+        A = A - jnp.outer(means, means)
+    return A, means
+
+
+@functools.partial(jax.jit, static_argnames=("intercept", "chunk"))
+def _screen_gram_comp(Xs, w, intercept: bool, chunk: int):
+    from ..utils import compensated
+
+    A, means = compensated.gram_tn(Xs, w, chunk=chunk)
     if intercept:
         A = A - jnp.outer(means, means)
     return A, means
@@ -69,7 +93,6 @@ def insert_cols(Xs, Xnew, s_old):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("intercept",))
 def screen_gram_extend(A_pad, Xs, Xnew, w, means_pad, s_old, intercept: bool):
     """Incrementally extend the screen Gram after screen-set growth.
 
@@ -88,13 +111,35 @@ def screen_gram_extend(A_pad, Xs, Xnew, w, means_pad, s_old, intercept: bool):
     Returns (A, means) identical (up to f.p. association) to a full
     ``screen_gram`` over the extended block.
     """
+    from ..configs import configs
+
+    if configs.compensated_reductions:
+        return _screen_gram_extend_impl(
+            A_pad, Xs, Xnew, w, means_pad, s_old, intercept,
+            int(configs.compensated_chunk),
+        )
+    return _screen_gram_extend_impl(
+        A_pad, Xs, Xnew, w, means_pad, s_old, intercept, 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("intercept", "chunk"))
+def _screen_gram_extend_impl(
+    A_pad, Xs, Xnew, w, means_pad, s_old, intercept: bool, chunk: int
+):
     zero = jnp.zeros((), jnp.int32)
     s_old = s_old.astype(jnp.int32)
-    means_new = jnp.einsum("nd,n->d", Xnew, w, precision=_PRECISION)
+    if chunk > 0:
+        from ..utils import compensated
+
+        means_new = compensated.mul_tn(Xnew, w, chunk=chunk)
+        cross = compensated.cross_tn(Xs, Xnew, w, chunk=chunk)
+    else:
+        means_new = jnp.einsum("nd,n->d", Xnew, w, precision=_PRECISION)
+        cross = jnp.einsum(
+            "ns,nd->sd", Xs, Xnew * w[:, None], precision=_PRECISION
+        )
     means = jax.lax.dynamic_update_slice(means_pad, means_new, (s_old,))
-    cross = jnp.einsum(
-        "ns,nd->sd", Xs, Xnew * w[:, None], precision=_PRECISION
-    )
     if intercept:
         cross = cross - means[:, None] * means_new[None, :]
     A = jax.lax.dynamic_update_slice(A_pad, cross, (zero, s_old))
