@@ -158,13 +158,20 @@ def subset(mat, indices, *, axis: int = 1, n_threads: int = 1):
     raise ValueError("axis must be 0 or 1")
 
 
-def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None):
-    """Sparse matrix (reference matrix.py:1301)."""
+def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
+           layout: str = "auto"):
+    """Sparse matrix (reference matrix.py:1301).
+
+    ``layout`` (naive only): "auto" | "padded" | "bcoo" — see
+    matrix/_sparse.py.  Padded CSC/CSR planes turn both products into one
+    vectorized gather + lane reduction (no scatters); auto falls back to
+    BCOO when nnz skew makes padding blow up storage.
+    """
     from ._sparse import MatrixCovSparse, MatrixNaiveSparse
 
     method = types.matrix_method(method)
     if method == "naive":
-        return MatrixNaiveSparse(mat, dtype=dtype)
+        return MatrixNaiveSparse(mat, dtype=dtype, layout=layout)
     if method == "cov":
         return MatrixCovSparse(mat, dtype=dtype)
     if method == "constraint":

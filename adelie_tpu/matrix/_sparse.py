@@ -1,10 +1,23 @@
 """Sparse matrices (reference matrix_naive_sparse.{hpp,ipp},
-matrix_cov_sparse.{hpp,ipp}; factory matrix.py:1301).
+matrix_cov_sparse.{hpp,ipp}; factory matrix.py:1301; sparse kernels
+matrix/utils.hpp:362-1015).
 
-TPU design: the matrix lives on device as a JAX BCOO (for the two big
-products ``mul``/``tmul`` — XLA lowers them to gather/segment-sum) and on
-host as scipy CSC (for screen-block densification, which is a host-side
-structural operation anyway).
+TPU design: XLA/TPU has no native CSR SpMV, and BCOO lowers to
+scatter/segment-sum which serializes badly on the VPU.  The TPU-first
+layout is **padded CSC/CSR**: every column (resp. row) is padded to the
+max nnz count L, giving static-shape (p, L) value/index planes.  The two
+hot products then become one vectorized gather + a lane reduction:
+
+    mul:   out[j] = sum_l vals_c[j, l] * u[row_idx[j, l]]
+    tmul:  out[i] = sum_l vals_r[i, l] * beta[col_idx[i, l]]
+
+— no scatters anywhere, fully batchable, and the gather feeds the VPU at
+row granularity.  Padding lanes point at index 0 with value 0 so they
+contribute nothing.  When the padding blowup is too large (max nnz >>
+mean nnz), the factory falls back to the BCOO lowering (``layout="bcoo"``)
+which trades vectorization for compactness.
+
+The host keeps scipy CSC for structural ops (screen-block densification).
 """
 
 import jax
@@ -17,27 +30,97 @@ from .base import MatrixCovBase, MatrixNaiveBase
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
+# padded layout is selected automatically below this storage blowup
+# (padded elements / nnz); above it the skew makes BCOO cheaper.
+_PAD_BLOWUP_MAX = 8.0
+
+
+def _padded_planes(mat_csc, dtype):
+    """Build (vals, idx) padded planes for a scipy CSC/CSR matrix along its
+    compressed axis.  Returns None when the matrix has no entries."""
+    counts = np.diff(mat_csc.indptr)
+    L = int(counts.max()) if counts.size else 0
+    if L == 0:
+        return None
+    m = len(counts)
+    vals = np.zeros((m, L), dtype)
+    idx = np.zeros((m, L), np.int32)
+    # vectorized fill: position of each nnz within its column
+    order = np.arange(mat_csc.nnz) - np.repeat(mat_csc.indptr[:-1], counts)
+    rows = np.repeat(np.arange(m), counts)
+    vals[rows, order] = mat_csc.data
+    idx[rows, order] = mat_csc.indices
+    return vals, idx
+
 
 class MatrixNaiveSparse(MatrixNaiveBase):
-    def __init__(self, mat, *, dtype=None):
+    """Sparse (n, p) feature matrix.
+
+    ``layout``: ``"auto"`` (default) picks padded planes unless the nnz
+    skew blows storage past ~8x nnz; ``"padded"`` / ``"bcoo"`` force.
+    """
+
+    def __init__(self, mat, *, dtype=None, layout: str = "auto"):
         mat = sp.csc_matrix(mat)
         if dtype is None:
             dtype = mat.dtype if mat.dtype in (np.float32, np.float64) else np.float64
+        if layout not in ("auto", "padded", "bcoo"):
+            raise ValueError(
+                f"layout must be one of ['auto', 'bcoo', 'padded'], got {layout!r}"
+            )
         self.dtype = np.dtype(dtype)
         self._rows, self._cols = mat.shape
         self._csc = mat.astype(self.dtype)
-        coo = mat.tocoo()
-        idx = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
-        self._bcoo = jsparse.BCOO(
-            (jnp.asarray(coo.data, self.dtype), jnp.asarray(idx)),
-            shape=(self._rows, self._cols),
-        )
+
+        csr = self._csc.tocsr()
+        nnz = max(self._csc.nnz, 1)
+        Lc = int(np.diff(self._csc.indptr).max()) if self._cols else 0
+        Lr = int(np.diff(csr.indptr).max()) if self._rows else 0
+        blowup = max(self._cols * Lc, self._rows * Lr) / nnz
+        if layout == "auto":
+            layout = "padded" if blowup <= _PAD_BLOWUP_MAX else "bcoo"
+        self.layout = layout
+
+        if layout == "padded":
+            pc = _padded_planes(self._csc, self.dtype)
+            pr = _padded_planes(csr, self.dtype)
+            zc = (np.zeros((self._cols, 1), self.dtype),
+                  np.zeros((self._cols, 1), np.int32))
+            zr = (np.zeros((self._rows, 1), self.dtype),
+                  np.zeros((self._rows, 1), np.int32))
+            cvals, cidx = pc if pc is not None else zc
+            rvals, ridx = pr if pr is not None else zr
+            self._cvals = jnp.asarray(cvals)
+            self._cidx = jnp.asarray(cidx)
+            self._rvals = jnp.asarray(rvals)
+            self._ridx = jnp.asarray(ridx)
+        else:
+            coo = mat.tocoo()
+            ij = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
+            self._bcoo = jsparse.BCOO(
+                (jnp.asarray(coo.data, self.dtype), jnp.asarray(ij)),
+                shape=(self._rows, self._cols),
+            )
+
+    def structure_key(self):
+        key = (type(self).__name__, self._rows, self._cols, self.layout)
+        if self.layout == "padded":
+            key += (self._cvals.shape[1], self._rvals.shape[1])
+        return key
 
     def mul(self, v, w):
         f, data = self.mul_spec()
         return f(data, jnp.asarray(v), jnp.asarray(w))
 
     def mul_spec(self):
+        if self.layout == "padded":
+            def f(data, v, w):
+                u = v * w
+                g = jnp.take(u, data["cidx"], axis=0)  # (p, L) gather
+                return jnp.sum(data["cvals"] * g, axis=1)
+
+            return f, {"cvals": self._cvals, "cidx": self._cidx}
+
         def f(data, v, w):
             return data["mat"].T @ (v * w)
 
@@ -49,9 +132,17 @@ class MatrixNaiveSparse(MatrixNaiveBase):
         return jnp.asarray(blk, self.dtype)
 
     def tmul(self, beta):
-        return self._bcoo @ jnp.asarray(beta, self.dtype)
+        beta = jnp.asarray(beta, self.dtype)
+        if self.layout == "padded":
+            g = jnp.take(beta, self._ridx, axis=0)  # (n, Lr)
+            return jnp.sum(self._rvals * g, axis=1)
+        return self._bcoo @ beta
 
     def sq_mul(self, w):
+        w = jnp.asarray(w)
+        if self.layout == "padded":
+            g = jnp.take(w, self._cidx, axis=0)
+            return jnp.sum(self._cvals**2 * g, axis=1)
         sq = self._csc.copy()
         sq.data = sq.data**2
         return jnp.asarray(sq.T @ np.asarray(w), self.dtype)

@@ -134,9 +134,44 @@ def bench_gram():
         print(f"  n={n:6d} S={S:5d}: {t*1e3:7.2f} ms  ({fl/t:6.2f} TFLOP/s)")
 
 
+def bench_sparse():
+    """Sparse gradient/product: padded gather planes vs BCOO scatter
+    lowering vs the dense roofline (VERDICT r2: sparse TPU perf was never
+    measured; reference sparse kernels matrix/utils.hpp:362-1015)."""
+    import scipy.sparse as sp
+    from adelie_tpu import matrix as mx
+
+    print("\n== sparse mul: X^T (w v)  (padded gather vs bcoo vs dense) ==")
+    rng = np.random.default_rng(0)
+    for n, p_, density in [(20000, 2000, 0.05), (50000, 5000, 0.01)]:
+        Z = (rng.standard_normal((n, p_)) *
+             (rng.uniform(size=(n, p_)) < density)).astype(np.float32)
+        Zs = sp.csc_matrix(Z)
+        v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        w = jnp.full(n, 1.0 / n, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(p_).astype(np.float32))
+        nnz_gb = Zs.nnz * 8 / 1e9  # value + index
+        rows = []
+        for layout in ("padded", "bcoo"):
+            m = mx.sparse(Zs, layout=layout)
+            tm = timeit(m.mul, v, w)
+            tt = timeit(m.tmul, beta)
+            rows.append((layout, tm, tt))
+        md = mx.dense(Z)
+        tdm = timeit(md.mul, v, w)
+        tdt = timeit(md.tmul, beta)
+        rows.append(("dense", tdm, tdt))
+        print(f"  n={n} p={p_} density={density} nnz={Zs.nnz}")
+        for name, tm, tt in rows:
+            eff = nnz_gb / tm
+            print(f"    {name:7s}: mul {tm*1e3:8.3f} ms ({eff:6.1f} GB/s nnz)"
+                  f"   tmul {tt*1e3:8.3f} ms")
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
     bench_mul()
     bench_gram()
     bench_snp_mul()
+    bench_sparse()
     bench_pin()

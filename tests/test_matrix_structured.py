@@ -329,3 +329,66 @@ def test_gaussian_cov_rejects_naive_matrix():
     S = np.eye(4)
     with pytest.raises(TypeError, match="method='cov'"):
         ad.gaussian_cov(mx.block_diag([S]), np.ones(4))
+
+
+@pytest.mark.parametrize("layout", ["padded", "bcoo"])
+def test_sparse_layouts_match_dense(layout):
+    rng = np.random.default_rng(21)
+    n, p = 35, 12
+    Z = rng.standard_normal((n, p)) * (rng.uniform(size=(n, p)) < 0.25)
+    Z[:, 4] = 0.0  # empty column
+    Z[7, :] = 0.0  # empty row
+    m = mx.sparse(sp.csc_matrix(Z), layout=layout)
+    assert m.layout == layout
+    run_suite(m, Z)
+
+
+def test_sparse_auto_layout_selection():
+    rng = np.random.default_rng(22)
+    n, p = 60, 10
+    # uniform sparsity -> padded
+    Zu = rng.standard_normal((n, p)) * (rng.uniform(size=(n, p)) < 0.2)
+    assert mx.sparse(sp.csc_matrix(Zu)).layout == "padded"
+    # extreme skew: one dense column among near-empty ones -> bcoo
+    Zs = np.zeros((n, p))
+    Zs[:, 0] = rng.standard_normal(n)
+    Zs[0, 1] = 1.0
+    assert mx.sparse(sp.csc_matrix(Zs)).layout == "bcoo"
+    with pytest.raises(ValueError, match="layout"):
+        mx.sparse(sp.csc_matrix(Zu), layout="padddded")
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_convex_relu_sparse_z(gated):
+    """Sparse Z is NOT densified (reference sparse convex-ReLU kernels,
+    matrix_naive_convex_relu.ipp sparse instantiations)."""
+    rng = np.random.default_rng(23)
+    n, d, mgates = 30, 5, 4
+    Z = rng.standard_normal((n, d)) * (rng.uniform(size=(n, d)) < 0.3)
+    mask = rng.uniform(size=(n, mgates)) < 0.5
+    Y = np.concatenate([mask[:, [k]] * Z for k in range(mgates)], axis=1)
+    dense = Y if gated else np.concatenate([Y, -Y], axis=1)
+    m = mx.convex_relu(sp.csc_matrix(Z), mask, gated=gated)
+    assert m._is_sparse
+    run_suite(m, dense)
+
+
+def test_grpnet_on_sparse_convex_relu():
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(24)
+    n, d, mgates = 60, 4, 3
+    Z = rng.standard_normal((n, d)) * (rng.uniform(size=(n, d)) < 0.4)
+    mask = rng.uniform(size=(n, mgates)) < 0.5
+    Y = np.concatenate([mask[:, [k]] * Z for k in range(mgates)], axis=1)
+    y = Y @ rng.standard_normal(Y.shape[1]) + 0.1 * rng.standard_normal(n)
+    glm = ad.glm.gaussian(y)
+    st_sp = ad.grpnet(mx.convex_relu(sp.csc_matrix(Z), mask, gated=True),
+                      glm, lmda_path_size=8, min_ratio=0.1,
+                      progress_bar=False)
+    st_de = ad.grpnet(mx.convex_relu(Z, mask, gated=True), glm,
+                      lmda_path_size=8, min_ratio=0.1, progress_bar=False)
+    B1 = np.asarray(st_sp.betas.todense())
+    B2 = np.asarray(st_de.betas.todense())
+    L = min(len(B1), len(B2))
+    assert np.allclose(B1[:L], B2[:L], atol=1e-7), np.abs(B1[:L] - B2[:L]).max()
