@@ -380,7 +380,7 @@ def gaussian_pin_naive(
                 C = int(state.lmda_chunk)
                 i = 0
                 while i < len(path):
-                    n_acc, early = driver._run_chunk(
+                    n_acc, early, _ = driver._run_chunk(
                         path[i:i + C], record=True
                     )
                     # pin mode accepts every processed lambda
