@@ -107,7 +107,12 @@ def distributed_init(coordinator_address=None, num_processes=None,
 
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator_address is not None and jax.process_count() == 1:
+    # NB: must not touch jax.process_count()/jax.devices() before
+    # initialize() — any backend-initializing call makes joining the
+    # coordinator impossible (jax raises "must be called before any JAX
+    # calls").  jax.distributed.is_initialized() is safe.
+    if coordinator_address is not None and \
+            not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id, **kwargs,

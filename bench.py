@@ -150,6 +150,196 @@ def _kernel_rooflines():
     return out
 
 
+def _sparse_bench():
+    """Sparse matrix device kernels (VERDICT r2 #9): the padded-CSC
+    gather layout vs jax BCOO lowering, with the dense matvec as the
+    HBM-roofline yardstick.  Useful traffic for a sparse gradient is
+    ~nnz * (4B value + 4B index)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    import adelie_tpu as ad
+
+    rng = np.random.default_rng(5)
+    n, p, density = 50_000, 8_000, 0.01
+    M = sp.random(n, p, density=density, format="csc", dtype=np.float32,
+                  random_state=np.random.RandomState(5))
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    w = jnp.full((n,), 1.0 / n, jnp.float32)
+    out = {"n": n, "p": p, "density": density, "nnz": int(M.nnz)}
+
+    for layout in ("padded", "bcoo"):
+        try:
+            Xm = ad.matrix.sparse(M, layout=layout)
+            f, data = Xm.mul_spec()
+            fj = jax.jit(f)
+            t = _timeit(lambda: fj(data, v, w), reps=50)
+            gbps = M.nnz * 8 / t / 1e9
+            out[layout] = {"ms": round(t * 1e3, 3),
+                           "useful_gbps": round(gbps, 1),
+                           "pct_hbm_roofline": round(
+                               100 * gbps / HBM_PEAK_GBPS, 1)}
+        except Exception as exc:
+            out[layout] = {"error": str(exc)[:120]}
+
+    # dense yardstick on the same logical shape
+    Xd = jnp.asarray(np.asarray(M.todense()))
+    grad = jax.jit(lambda X, v, w: jnp.einsum(
+        "n,np->p", v * w, X, precision=jax.lax.Precision.HIGHEST))
+    t = _timeit(lambda: grad(Xd, v, w), reps=50)
+    out["dense_same_shape_ms"] = round(t * 1e3, 3)
+    return out
+
+
+def _grouped_pin_bench():
+    """Grouped (q>1) pin solve: whole-solve Pallas kernel vs the XLA
+    fori_loop CD path on the same problem (VERDICT r2 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adelie_tpu.solver import pin as pin_mod
+    from adelie_tpu.solver import pin_pallas as pp
+    from adelie_tpu.solver.pin import screen_gram
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "pallas kernel needs the TPU backend"}
+
+    rng = np.random.default_rng(9)
+    n, G, q = 20_000, 128, 4
+    S = G * q
+    X = rng.standard_normal((n, S)).astype(np.float32)
+    w = np.full(n, 1.0 / n, np.float32)
+    Xs = jnp.asarray(X)
+    A, _ = screen_gram(Xs, jnp.asarray(w), True)
+    # eigendecompose group blocks
+    blocks = np.stack([np.asarray(A)[g * q:(g + 1) * q, g * q:(g + 1) * q]
+                       for g in range(G)])
+    evals, evecs = np.linalg.eigh(blocks)
+    y = X[:, :q] @ rng.standard_normal(q).astype(np.float32) \
+        + rng.standard_normal(n).astype(np.float32)
+    grad = np.asarray(A) @ np.zeros(S, np.float32) + (X.T @ (w * y))
+
+    args = dict(
+        A=A, grad=jnp.asarray(grad.astype(np.float32)),
+        beta=jnp.zeros(S, jnp.float32),
+        slot_begin=jnp.asarray(np.arange(0, S, q), jnp.int32),
+        slot_size=jnp.full((G,), q, jnp.int32),
+        eigvals=jnp.asarray(evals.astype(np.float32)),
+        eigvecs=jnp.asarray(evecs.astype(np.float32)),
+        penalty=jnp.full((G,), np.sqrt(q), jnp.float32),
+        is_active=jnp.zeros(G, bool),
+        lmda=jnp.asarray(0.05 * np.abs(grad).max(), jnp.float32),
+        alpha=jnp.asarray(1.0, jnp.float32),
+        tol=jnp.asarray(1e-7, jnp.float32),
+        dbeta_tol=jnp.asarray(1e-12, jnp.float32),
+        newton_tol=jnp.asarray(1e-9, jnp.float32),
+        newton_max_iters=jnp.asarray(1000, jnp.int32),
+        max_iters=jnp.asarray(1000, jnp.int32),
+        rsq=jnp.asarray(0.0, jnp.float32),
+    )
+
+    def call():
+        return pin_mod.pin_cov_solve(**args)
+
+    out = {"n": n, "groups": G, "q": q}
+    t = _timeit(lambda: call(), reps=20)
+    r = call()
+    out["pallas_full_solve_ms"] = round(t * 1e3, 3)
+    out["sweeps"] = int(np.asarray(jax.device_get(r[4])))
+    # force the XLA fori_loop path by shrinking the dispatch cap
+    cap_s, cap_q = pp.MAX_PALLAS_S, pp.MAX_PALLAS_Q
+    try:
+        pp.MAX_PALLAS_S = 0
+        t2 = _timeit(lambda: call(), reps=5)
+        out["xla_loop_full_solve_ms"] = round(t2 * 1e3, 3)
+        out["pallas_speedup"] = round(t2 / t, 1)
+    finally:
+        pp.MAX_PALLAS_S, pp.MAX_PALLAS_Q = cap_s, cap_q
+    return out
+
+
+def _north_star_bench():
+    """The BASELINE.json north star: full lambda-path lasso on a 1M-SNP x
+    100K-sample packed matrix (25 GB packed > HBM) via the host-streaming
+    matrix + streamed-KKT driver on ONE chip.  Gated on the synthesized
+    cache being present (benchmark/north_star_data.py builds it once)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmark"))
+    import north_star_data as nsd
+
+    if not (os.path.exists(nsd.PACKED_PATH) and os.path.exists(nsd.Y_PATH)):
+        return {"skipped": "north-star cache absent "
+                           "(run benchmark/north_star_data.py)"}
+
+    import jax
+    import jax.numpy as jnp
+
+    import adelie_tpu as ad
+
+    io = nsd.NorthStarIO()
+    Xm = ad.matrix.snp_unphased(io, dtype=np.float32)
+    assert getattr(Xm, "is_streaming", False), "expected the streamed matrix"
+
+    # achieved H2D stream bandwidth: one full mul_many pass over the
+    # packed bytes (double-buffered device_put + decode-matmul)
+    w = jnp.full((nsd.N,), 1.0 / nsd.N, jnp.float32)
+    U = (jnp.asarray(io.y) * w)[None, :]
+    _force(Xm.mul_many(U))                       # compile + first sweep
+    t0 = time.perf_counter()
+    _force(Xm.mul_many(U))
+    sweep_s = time.perf_counter() - t0
+    packed_gb = nsd.P * ((nsd.N + 3) // 4) / 1e9
+
+    glm = ad.glm.gaussian(io.y, dtype=np.float32)
+    kw = dict(lmda_path_size=50, min_ratio=5e-2, progress_bar=False)
+    t0 = time.perf_counter()
+    st = ad.grpnet(Xm, glm, **kw)
+    cold = time.perf_counter() - t0
+    assert st.error == "", st.error
+    t0 = time.perf_counter()
+    st = ad.grpnet(Xm, glm, **kw)
+    warm = time.perf_counter() - t0
+    assert st.error == "", st.error
+    devs = np.asarray(st.devs)
+    assert np.isfinite(devs).all() and devs[-1] > 0.1
+    updates = int(np.sum(st.benchmark.get("cd_updates", [])))
+    # signal recovery sanity: final active set hits true causal SNPs
+    nz = set(np.asarray(st.betas[-1].tocoo().col).tolist())
+    hits = len(nz & set(io.causal.tolist()))
+    return {
+        "n": nsd.N, "p": nsd.P, "packed_gb": round(packed_gb, 1),
+        "stream_sweep_s": round(sweep_s, 2),
+        "h2d_stream_gbps": round(packed_gb / sweep_s, 2),
+        "lambdas": len(st.lmdas),
+        "max_screen": int(max(st.screen_sizes)),
+        "nnz_final": int(st.betas[-1].nnz),
+        "causal_hits_of_60": hits,
+        "dev_final": round(float(devs[-1]), 3),
+        "cold_s": round(cold, 1), "warm_s": round(warm, 1),
+        "iters_per_s": round(updates / warm, 1),
+    }
+
+
+def _eur_bench():
+    """The BASELINE.md headline config: SNP group lasso on the
+    EUR_subset(-shaped) PLINK bed (benchmark/bench_baseline.py config 4;
+    the reference ships the true bytes as git-LFS stubs, so this is the
+    exact-shape LD-structured surrogate)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmark"))
+    from bench_baseline import config4_eur_snp_group_lasso
+
+    res, _ = config4_eur_snp_group_lasso()
+    return res
+
+
 def _gwas_bench():
     """Single-chip max-scale GWAS workload: group lasso path over a
     p=200k-SNP x n=50k-sample 2-bit packed matrix (2.5 GB packed = the
@@ -326,6 +516,27 @@ def main():
     except Exception as exc:
         gwas = {"error": str(exc)[:200]}
 
+    try:
+        sparse = _sparse_bench()
+    except Exception as exc:
+        sparse = {"error": str(exc)[:200]}
+
+    try:
+        grouped_pin = _grouped_pin_bench()
+    except Exception as exc:
+        grouped_pin = {"error": str(exc)[:200]}
+
+    try:
+        eur = _eur_bench() if jax.default_backend() == "tpu" else None
+    except Exception as exc:
+        eur = {"error": str(exc)[:200]}
+
+    try:
+        north = _north_star_bench() if jax.default_backend() == "tpu" \
+            else None
+    except Exception as exc:
+        north = {"error": str(exc)[:200]}
+
     print(json.dumps({
         "metric": (
             f"gaussian lasso full-path fit n={n} p={p} ({n_sols} lambdas), "
@@ -341,6 +552,10 @@ def main():
         "device": str(jax.devices()[0].device_kind),
         "constrained_logistic_s": round(cons_time, 3),
         "gwas_snp_path": gwas,
+        "north_star_1m_x_100k_streamed": north,
+        "eur_subset": eur,
+        "sparse": sparse,
+        "grouped_pin": grouped_pin,
         "kernels": kernels,
     }))
 
