@@ -26,6 +26,9 @@ jax.config.update("jax_enable_x64", True)
 # segfaulted inside the cache's executable (de)serialization on the
 # 8-device SPMD grpnet program (see ROUND_NOTES round 3); set it when
 # chasing crashes to rule the cache layer out.
-if not os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
+if os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
+    # also stop the package import from re-enabling its production cache
+    os.environ["ADELIE_TPU_NO_CACHE"] = "1"
+else:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_adelie_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
