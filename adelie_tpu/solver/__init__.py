@@ -111,6 +111,13 @@ def grpnet(
 
     # ---- multi-response reformulation (reference solver.py:700-763) ---- #
     if glm.is_multi:
+        if getattr(X, "is_streaming", False):
+            raise NotImplementedError(
+                "multi-response fits over host-streamed matrices are not "
+                "supported (the kronecker reformulation embeds X in a "
+                "fused device program); load the matrix into HBM "
+                "(matrix.snp_unphased(..., streaming=False))."
+            )
         from .multi import build_multi_problem
 
         return build_multi_problem(
@@ -248,13 +255,6 @@ def grpnet(
         else:
             driver = GaussianNaiveDriver(state)
     else:
-        if getattr(X, "is_streaming", False):
-            raise NotImplementedError(
-                "GLM (IRLS) fits over host-streamed matrices are not "
-                "supported yet; only the gaussian fast path streams. Load "
-                "the matrix into HBM (matrix.snp_unphased(..., "
-                "streaming=False)) or use a gaussian glm."
-            )
         offs = jnp.asarray(offsets_np.ravel(), dtype)
         if warm_start is None:
             eta = offs
@@ -280,9 +280,20 @@ def grpnet(
         )
         state.grad = grad
         if has_constraints:
+            if getattr(X, "is_streaming", False):
+                raise NotImplementedError(
+                    "constrained GLM fits over host-streamed matrices are "
+                    "not supported; load the matrix into HBM "
+                    "(matrix.snp_unphased(..., streaming=False)) or drop "
+                    "the constraints."
+                )
             from .constrained import ConstrainedGlmDriver
 
             driver = ConstrainedGlmDriver(state, list(constraints))
+        elif getattr(X, "is_streaming", False):
+            from .streamed import StreamedGlmDriver
+
+            driver = StreamedGlmDriver(state)
         else:
             driver = GlmNaiveDriver(state)
 

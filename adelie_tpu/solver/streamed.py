@@ -31,9 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import configs
-from ..exceptions import MaxCDsError
+from ..exceptions import MaxCDsError, SolverError
 from ..utils import Stopwatch
 from .gaussian import GaussianNaiveDriver
+from .glm_driver import GlmNaiveDriver
 from .pin import pin_cov_solve
 
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -242,8 +243,6 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
         (dones, devs, earlys, processed, rsqs, rsums_h, iters_np) = \
             jax.device_get((dones_e, devs_e, earlys_e, processed_e, rsqs_e,
                             rsums_e, iters_e))
-        if np.any(processed & ~dones):
-            raise MaxCDsError(int(np.argmax(processed & ~dones)))
         n_proc = int(processed.sum())
         if n_proc == 0:
             s.benchmark["fit_screen"].append(sw.elapsed())
@@ -265,15 +264,22 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
         kkts_h = np.asarray(jax.device_get(kkts))
         s.benchmark["kkt"].append(sw_k.elapsed())
 
-        # ---- certify: accepted prefix ends at the first KKT failure ------
-        fails = np.flatnonzero(~kkts_h[:n_proc])
-        if self.pin_mode:
-            fails = np.zeros(0, int)
+        # ---- certify: accepted prefix ends at the first KKT failure or
+        # pin non-convergence; pin failures AFTER a KKT failure are
+        # speculative fits invalidated by the retry and do not raise ------
+        kkts_eff = np.ones(n_proc, bool) if self.pin_mode \
+            else kkts_h[:n_proc]
+        accept = dones[:n_proc] & kkts_eff
+        fails = np.flatnonzero(~accept)
+        pin_failed = bool(len(fails)) and not bool(dones[fails[0]])
         if len(fails):
             t = int(fails[0])
             n_acc = t
             kkt_clean = False
             early_stopped = False
+            if pin_failed:
+                # keep the last ACCEPTED iterate, not the unconverged one
+                t = t - 1
         else:
             t = n_proc - 1
             n_acc = n_proc
@@ -300,21 +306,292 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
 
         # ---- advance state to the target iterate (reference keeps the
         # failed fit's iterate for the retry, solver_base.hpp:605-686) -----
-        beta_t = betas_e[t]
-        active_t = actives_e[t]
-        beta_h, active_h, agrad_h, grad_col = jax.device_get(
-            (beta_t, active_t, abs_grad_all[:, t], Gstack[:, t])
-        )
-        s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
-        s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
-        s.resid = _resid_at(resid0, cache.Xs, beta_t, beta0_dev)
-        s.rsq = float(rsqs[t])
-        s.resid_sum = float(rsums_h[t])
-        s.abs_grad = np.asarray(agrad_h)
-        s.grad = jnp.asarray(grad_col)
-        s.lmda = float(lm_pad[t])
+        if t >= 0:
+            beta_t = betas_e[t]
+            active_t = actives_e[t]
+            beta_h, active_h, agrad_h, grad_col = jax.device_get(
+                (beta_t, active_t, abs_grad_all[:, t], Gstack[:, t])
+            )
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = \
+                np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.resid = _resid_at(resid0, cache.Xs, beta_t, beta0_dev)
+            s.rsq = float(rsqs[t])
+            s.resid_sum = float(rsums_h[t])
+            s.abs_grad = np.asarray(agrad_h)
+            s.grad = jnp.asarray(grad_col)
+            s.lmda = float(lm_pad[t])
         if record and n_acc:
             self._prev_dev = float(devs[n_acc - 1])
             self._have_prev_dev = True
         s.benchmark["fit_screen"].append(sw.elapsed())
+        if pin_failed:
+            raise MaxCDsError(int(fails[0]))
+        return n_acc, early_stopped, kkt_clean
+
+
+# ===================================================================== #
+# streamed GLM (IRLS) driver                                            #
+# ===================================================================== #
+
+
+def build_streamed_glm_chunk_step(glm, intercept: bool, qmax: int, dtype):
+    """Optimistic IRLS lambda-chunk scan over the screened block only.
+
+    The fused GLM chunk step (glm_fused.build_glm_chunk_step) folds the
+    full-p KKT gradient into the scan, which needs the matrix in HBM.
+    Here each lambda runs the SAME fused IRLS core
+    (glm_fused._make_irls_fit: reweighting, screen-Gram/eigh refresh,
+    covariance-form pin solve, one lax.while_loop — reference
+    solver_glm_naive.hpp:241-459) but emits its converged
+    eta/resid/beta stacks instead of verdicts; the caller streams ONE
+    X.mul_many pass over the packed bytes to get every lambda's KKT
+    verdict, then certifies the accepted prefix on host (rolling back
+    exactly like the streamed gaussian driver above).
+    """
+    from .glm_fused import _make_irls_fit
+
+    irls_fit = _make_irls_fit(glm, intercept, qmax, dtype)
+
+    @jax.jit
+    def chunk_step(
+        Xs, slot_begin, slot_size, penalty_slots,
+        beta0, active0, eta0, resid0, b0_init, offsets,
+        lmdas, valid,
+        alpha, tol_base, irls_tol, irls_max_iters,
+        dbeta_tol, newton_tol, newton_max_iters, max_iters,
+        loss_null, loss_full, adev_tol, ddev_tol, early_exit_on,
+        prev_dev, have_prev_dev, sweep_budget,
+    ):
+        def per_lambda(carry, inp):
+            (beta, active, eta, resid, b0, stopped, prev_dev, have_prev,
+             cum_irls) = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                (beta, active, eta, resid, b0, stopped, prev_dev,
+                 have_prev, cum_irls) = args
+                (beta_n, active_n, eta_n, resid_n, b0_n, irls_iters,
+                 converged, pin_ok) = irls_fit(
+                    Xs, slot_begin, slot_size, penalty_slots,
+                    beta, active, eta, resid, b0, offsets,
+                    lmda, alpha, tol_base, irls_tol, irls_max_iters,
+                    dbeta_tol, newton_tol, newton_max_iters, max_iters,
+                )
+                fit_ok = converged & pin_ok
+                loss = glm.loss(eta_n)
+                dev = (loss_null - loss) / (loss_null - loss_full)
+                # optimistic: the early exit is decided on fit_ok alone;
+                # the host certify truncates at the first streamed-KKT
+                # failure, discarding any post-failure exit decision
+                early = early_exit_on & fit_ok & (
+                    (dev >= adev_tol)
+                    | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
+                )
+                cum_n = cum_irls + irls_iters
+                stopped_n = (~fit_ok) | early | (cum_n >= sweep_budget)
+
+                # failed IRLS fits do not advance the iterate (rollback,
+                # reference solver_glm_naive.hpp:315-322)
+                def commit(_):
+                    return (beta_n, active_n, eta_n, resid_n, b0_n,
+                            stopped_n, jnp.where(fit_ok, dev, prev_dev),
+                            have_prev | fit_ok, cum_n)
+
+                def keep(_):
+                    return (beta, active, eta, resid, b0,
+                            jnp.ones((), bool), prev_dev, have_prev, cum_n)
+
+                carry_n = jax.lax.cond(fit_ok, commit, keep, None)
+                emit = (beta_n, active_n, eta_n, resid_n, b0_n, fit_ok,
+                        pin_ok, dev, loss, early, jnp.ones((), bool),
+                        irls_iters)
+                return carry_n, emit
+
+            def skip(args):
+                beta, active, eta, resid, b0 = args[:5]
+                emit = (beta, active, eta, resid, b0,
+                        jnp.zeros((), bool), jnp.ones((), bool),
+                        jnp.zeros((), dtype), jnp.zeros((), dtype),
+                        jnp.zeros((), bool), jnp.zeros((), bool),
+                        jnp.zeros((), jnp.int32))
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, eta0, resid0, b0_init,
+                jnp.zeros((), bool), prev_dev, have_prev_dev,
+                jnp.zeros((), jnp.int32))
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+def get_streamed_glm_chunk_step(glm, intercept: bool, qmax: int, dtype):
+    key = ("glm_chunk", id(glm), bool(intercept), int(qmax),
+           jnp.dtype(dtype).name)
+    hit = _STREAM_STEP_CACHE.get(key)
+    if hit is None:
+        hit = _STREAM_STEP_CACHE[key] = build_streamed_glm_chunk_step(
+            glm, intercept, qmax, dtype
+        )
+    return hit
+
+
+class StreamedGlmDriver(GlmNaiveDriver):
+    """GLM (IRLS) BASIL driver over a host-streamed matrix.
+
+    Reuses ``GlmNaiveDriver.solve_path`` (loss_null setup, lmda_max,
+    screening, chunk scheduling) with ``_run_chunk`` replaced by the
+    optimistic-IRLS + streamed-KKT + certify protocol.  The GLM KKT
+    gradient is ``X^T resid`` with NO mean-centering (the intercept is a
+    coordinate of eta inside IRLS, glm_fused._kkt_block), so
+    ``kkt_finalize`` runs with ``intercept=False``.
+    """
+
+    def fit(self, lmda):  # pragma: no cover - solve_path never calls it
+        raise NotImplementedError(
+            "streamed GLM driver runs chunked solve_path only"
+        )
+
+    def _run_chunk(self, lmdas, record):
+        import scipy.sparse as sp
+
+        s = self.s
+        glm = s.glm
+        dtype = s.dtype
+        sw = Stopwatch().start()
+        cache = s.ensure_screen_cache()
+        step = get_streamed_glm_chunk_step(
+            glm, bool(s.intercept), cache.qmax, dtype
+        )
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+        lm_dev = jnp.asarray(lm_pad, dtype)
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        tol_base = s.tol * (s.loss_null - s.loss_full)
+
+        carry, emits = step(
+            cache.Xs, cache.slot_begin, cache.slot_size, cache.penalty_slots,
+            beta0_dev, active0,
+            s.eta, s.resid, jnp.asarray(s.beta0, dtype), s.offsets,
+            lm_dev, jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(tol_base, dtype),
+            jnp.asarray(s.irls_tol, dtype),
+            jnp.asarray(s.irls_max_iters, jnp.int32),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.loss_null, dtype), jnp.asarray(s.loss_full, dtype),
+            jnp.asarray(s.adev_tol, dtype), jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+            jnp.asarray(configs.chunk_sweep_budget, jnp.int32),
+        )
+        (betas_e, actives_e, etas_e, resids_e, b0s_e, fitoks_e, pinoks_e,
+         devs_e, losses_e, earlys_e, processed_e, irls_e) = emits
+
+        (fitoks, pinoks, devs, earlys, processed, b0s_np, irls_np) = \
+            jax.device_get((fitoks_e, pinoks_e, devs_e, earlys_e,
+                            processed_e, b0s_e, irls_e))
+        n_proc = int(processed.sum())
+        if n_proc == 0:
+            s.benchmark["fit_screen"].append(sw.elapsed())
+            return 0, False, True
+
+        # ---- streamed KKT: ONE pass over the packed bytes ---------------
+        sw_k = Stopwatch().start()
+        Gfull = s.X.mul_many(resids_e)                # (p, C) streamed
+        zero = jnp.zeros((), dtype)
+        abs_grad_all, kkts, Gstack = kkt_finalize(
+            Gfull, zero, zero, lm_dev, jnp.asarray(s.alpha, dtype),
+            s._penalty_cols, betas_e, cache.cols_padded, s._group_ids,
+            self._penalty_groups_dev, self._screen_mask(),
+            len(s.groups), False,
+        )
+        kkts_h = np.asarray(jax.device_get(kkts))
+        s.benchmark["kkt"].append(sw_k.elapsed())
+
+        # ---- certify (first fit failure or KKT failure ends the prefix;
+        # fit failures AFTER a KKT failure are speculative -> retried) ----
+        accept = fitoks[:n_proc] & kkts_h[:n_proc]
+        fails = np.flatnonzero(~accept)
+        fit_failed = bool(len(fails)) and not bool(fitoks[fails[0]])
+        if len(fails):
+            t = int(fails[0])
+            n_acc = t
+            kkt_clean = False
+            early_stopped = False
+            if fit_failed:
+                # IRLS/pin never converged there: keep the last ACCEPTED
+                # iterate (the scan carry rolled the failure back too)
+                t = t - 1
+        else:
+            t = n_proc - 1
+            n_acc = n_proc
+            kkt_clean = True
+            early_stopped = bool(earlys[:n_proc].any())
+
+        # ---- record accepted solutions ----------------------------------
+        if record and n_acc:
+            S_val = cache.S_val
+            G_s = len(s.screen_set)
+            betas_acc, actives_acc = jax.device_get(
+                (betas_e[:n_acc], actives_e[:n_acc])
+            )
+            for i in range(n_acc):
+                sb = np.asarray(betas_acc[i][:S_val])
+                nz = np.abs(sb) > 0
+                beta_row = sp.csr_matrix(
+                    (sb[nz], (np.zeros(int(nz.sum()), int), cache.cols[nz])),
+                    shape=(1, s.p),
+                )
+                s.betas.append(beta_row)
+                s.intercepts.append(float(b0s_np[i]) if s.intercept else 0.0)
+                s.lmdas.append(float(lm_pad[i]))
+                s.devs.append(float(devs[i]))
+                s.n_valid_solutions.append(True)
+                s.active_sizes.append(
+                    int(np.asarray(actives_acc[i]).sum())
+                )
+                s.screen_sizes.append(len(s.screen_set))
+                s.benchmark["cd_iters"].append(int(irls_np[i]))
+
+        # ---- advance state to the target iterate ------------------------
+        if t >= 0:
+            beta_h, active_h, agrad_h, grad_col = jax.device_get(
+                (betas_e[t], actives_e[t], abs_grad_all[:, t], Gstack[:, t])
+            )
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = \
+                np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.eta = etas_e[t]
+            s.resid = resids_e[t]
+            s.beta0 = float(b0s_np[t])
+            s.abs_grad = np.asarray(agrad_h)
+            s.grad = jnp.asarray(grad_col)
+            s.lmda = float(lm_pad[t])
+        if record and n_acc:
+            self._prev_dev = float(devs[n_acc - 1])
+            self._have_prev_dev = True
+        s.benchmark["fit_screen"].append(sw.elapsed())
+
+        # IRLS failures raise AFTER the state advance (valid partial state,
+        # reference py_state.cpp:83-89)
+        if fit_failed:
+            if not bool(pinoks[fails[0]]):
+                raise MaxCDsError(int(fails[0]))
+            raise SolverError("Maximum IRLS iterations reached.")
         return n_acc, early_stopped, kkt_clean

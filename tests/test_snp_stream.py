@@ -126,12 +126,72 @@ def test_streamed_auto_factory(tmp_path):
 
 
 def test_streamed_guards(tmp_path):
+    """Unsupported streamed combinations fail fast with a clear message."""
     io, data = _make_io(tmp_path, 60, 30, seed=2, name="b.snpdat")
     m = ad.matrix.snp_unphased(io, streaming=True, dtype=np.float64)
-    y01 = (np.asarray(data["glm"].y) > np.median(np.asarray(data["glm"].y)))
-    with pytest.raises(NotImplementedError, match="streamed"):
-        ad.grpnet(m, ad.glm.binomial(y01.astype(float)), lmda_path_size=3,
+    y = np.asarray(data["glm"].y)
+    box1 = ad.constraint.box(np.full(1, -1.0), np.full(1, 1.0))
+    with pytest.raises(NotImplementedError, match="constrain"):
+        ad.grpnet(m, ad.glm.gaussian(y), constraints=[box1] * 30,
+                  lmda_path_size=3, progress_bar=False)
+    Y2 = np.stack([y, -y], axis=1)
+    with pytest.raises(NotImplementedError, match="multi"):
+        ad.grpnet(m, ad.glm.multigaussian(Y2), lmda_path_size=3,
                   progress_bar=False)
+
+
+def test_streamed_glm_binomial_matches_inhbm(tmp_path):
+    """Streamed IRLS (optimistic chunk + streamed KKT) == fused in-HBM
+    logistic path, with intercept and real BASIL screening."""
+    io, data = _make_io(tmp_path, 260, 72, seed=21, name="gl.snpdat")
+    y = np.asarray(data["glm"].y)
+    y01 = (y > np.median(y)).astype(np.float64)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.binomial(y01), lmda_path_size=10,
+                         min_ratio=0.05, progress_bar=False)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, ad.glm.binomial(y01), lmda_path_size=10,
+                         min_ratio=0.05, progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    B_h = np.asarray(st_h.betas.todense())
+    B_s = np.asarray(st_s.betas.todense())
+    assert (B_h != 0).sum() > 0
+    assert B_h.shape == B_s.shape
+    np.testing.assert_allclose(B_h, B_s, atol=1e-8)
+    np.testing.assert_allclose(st_h.intercepts, st_s.intercepts, atol=1e-8)
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-8)
+
+
+def test_streamed_glm_poisson_groups_no_intercept(tmp_path):
+    """Streamed poisson group elastic net (alpha<1, no intercept) == in-HBM."""
+    io, data = _make_io(tmp_path, 220, 60, seed=23, name="po.snpdat")
+    rng = np.random.default_rng(4)
+    yp = rng.poisson(2.0, 220).astype(np.float64)
+    groups = np.arange(0, 60, 3)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.poisson(yp), groups=groups, alpha=0.8,
+                         intercept=False, lmda_path_size=8, min_ratio=0.05,
+                         progress_bar=False)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, ad.glm.poisson(yp), groups=groups, alpha=0.8,
+                         intercept=False, lmda_path_size=8, min_ratio=0.05,
+                         progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    np.testing.assert_allclose(
+        np.asarray(st_h.betas.todense()), np.asarray(st_s.betas.todense()),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-8)
 
 
 def test_streamed_grpnet_mesh(tmp_path):
