@@ -26,6 +26,8 @@ from ..configs import configs
 __all__ = [
     "GlmBase",
     "GlmMultiBase",
+    "glm_base",
+    "multiglm_base",
     "gaussian",
     "binomial",
     "poisson",
@@ -108,6 +110,13 @@ class GlmMultiBase(GlmBase):
         y = np.asarray(y)
         assert y.ndim == 2
         super().__init__(name, y, weights, dtype)
+
+
+# Reference-name aliases (reference glm.py:33,58): the reference's
+# user-extension bases are called glm_base / multiglm_base; subclass these
+# to define a custom GLM (see docs/extending.md for the tracing rules).
+glm_base = GlmBase
+multiglm_base = GlmMultiBase
 
 
 class GlmGaussian(GlmBase):

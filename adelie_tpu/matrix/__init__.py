@@ -9,7 +9,20 @@ the reference's pybind trampoline extension path (py_matrix.cpp:627-830).
 import numpy as np
 
 from ..utils import types
-from .base import MatrixConstraintBase, MatrixCovBase, MatrixNaiveBase
+from .base import (
+    MatrixConstraintBase,
+    MatrixCovBase,
+    MatrixNaiveBase,
+    MatrixNaiveTranspose,
+)
+
+# Reference-name aliases (reference matrix.py:79,199,260,40): the reference
+# calls its user-extensible Python bases PyMatrix*Base; here the protocol
+# bases themselves are the extension point, so the names coincide.
+PyMatrixNaiveBase = MatrixNaiveBase
+PyMatrixCovBase = MatrixCovBase
+PyMatrixConstraintBase = MatrixConstraintBase
+PyMatrixNaiveTranspose = MatrixNaiveTranspose
 from .dense import MatrixCovDense, MatrixCovLazy, MatrixNaiveDense
 from .wrappers import (
     MatrixCovBlockDiag,

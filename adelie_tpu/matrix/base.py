@@ -189,6 +189,12 @@ class MatrixNaiveBase:
     def __matmul__(self, other):
         return np.asarray(self.tmul(jnp.asarray(other, self.dtype)))
 
+    @property
+    def T(self):
+        """Lazy transpose view supporting ``X.T @ v`` (reference
+        matrix.py:40-77 ``PyMatrixNaiveTranspose``)."""
+        return MatrixNaiveTranspose(self)
+
     def __getitem__(self, key):
         rows, cols = self._parse_key(key)
         blk = np.asarray(self.gather(cols))
@@ -297,3 +303,35 @@ class MatrixConstraintBase:
         idx = jnp.asarray(np.asarray(indices, np.int32))
         vals = jnp.asarray(values)
         return A[idx].T @ vals
+
+
+class MatrixNaiveTranspose:
+    """Lazy ``X.T`` view over a :class:`MatrixNaiveBase` (reference
+    matrix.py:40-77).  Supports ``X.T @ v`` for 1-D or 2-D ``v`` by
+    reducing to unweighted ``mul`` calls (``X^T v == mul(v, ones)``);
+    nothing is densified."""
+
+    def __init__(self, mat):
+        self._mat = mat
+        self.ndim = 2
+
+    @property
+    def shape(self):
+        n, p = self._mat.shape
+        return (p, n)
+
+    @property
+    def T(self):
+        return self._mat
+
+    def __matmul__(self, v):
+        v = np.asarray(v)
+        if v.ndim < 1 or v.ndim > 2:
+            raise ValueError("Right argument must be 1 or 2-dimensional.")
+        n = self._mat.rows()
+        ones = jnp.ones((n,), self._mat.dtype)
+        if v.ndim == 1:
+            return np.asarray(self._mat.mul(jnp.asarray(v, self._mat.dtype), ones))
+        cols = [np.asarray(self._mat.mul(jnp.asarray(v[:, i], self._mat.dtype), ones))
+                for i in range(v.shape[1])]
+        return np.stack(cols, axis=1)

@@ -26,6 +26,10 @@ __all__ = [
     "pinball",
     "css_cov",
     "check_state",
+    "base",
+    "render_constraints",
+    "render_dual_groups",
+    "deduce_states",
 ]
 
 
@@ -158,6 +162,61 @@ class _BoundState:
 
     def solve(self, progress_bar: bool = False, exit_cond=None):
         return self._run(progress_bar, exit_cond)
+
+
+# Reference-name aliases (reference state.py:79,179,401,723,1421): the
+# reference splits its invariant audits across an inheritance hierarchy of
+# per-solver base classes; here they all live centrally in check_state, so
+# the hierarchy collapses to one wrapper class.
+base = _BoundState
+gaussian_pin_base = _BoundState
+gaussian_pin_naive_base = _BoundState
+gaussian_pin_cov_base = _BoundState
+gaussian_naive_base = _BoundState
+
+
+def render_constraints(n_groups, constraints, dtype=None):
+    """Normalize a user constraints list to length ``n_groups`` (reference
+    state.py:28-45).  ``None`` entries mean unconstrained; a short list is
+    left-padded with ``None`` (the multi-response case, where the missing
+    entries are the unpenalized intercept columns)."""
+    if constraints is None:
+        constraints = [None] * n_groups
+    constraints = list(constraints)
+    if len(constraints) > n_groups:
+        raise ValueError(
+            "constraints is larger than the number of groups "
+            f"({len(constraints)} > {n_groups})"
+        )
+    if len(constraints) < n_groups:
+        constraints = [None] * (n_groups - len(constraints)) + constraints
+    return constraints
+
+
+def _dual_size(c):
+    d = getattr(c, "duals", None)
+    return int(d() if callable(d) else d)
+
+
+def render_dual_groups(constraints):
+    """Starting offset of each group's dual block (reference
+    state.py:48-54): exclusive cumsum of per-group dual sizes (0 for
+    unconstrained groups)."""
+    sizes = [0 if c is None else _dual_size(c) for c in constraints]
+    return np.cumsum(np.concatenate([[0], sizes]), dtype=int)[:-1]
+
+
+def deduce_states(*, constraints, group_sizes, screen_set, dtype=None):
+    """Derive the members every solver state shares (reference
+    state.py:57-76): the normalized constraints list and the screen-set
+    coefficient offsets ``screen_begins``."""
+    group_sizes = np.asarray(group_sizes)
+    screen_set = np.asarray(screen_set)
+    constraints = render_constraints(group_sizes.shape[0], constraints, dtype)
+    screen_begins = np.cumsum(
+        np.concatenate([[0], group_sizes[screen_set]]), dtype=int
+    )[:-1]
+    return constraints, screen_begins
 
 
 def _factory(X, glm, kwargs):
