@@ -495,7 +495,7 @@ def one_sided(D, b, *, method: str = "proximal_newton", configs=None,
 
 
 def linear(A, lower, upper, *, vars=None, method: str = "proximal_newton",
-           configs=None, dtype=None):
+           configs=None, dtype=None, copy: bool = False):
     """lower <= A beta <= upper (reference constraint.py:137).  ``vars`` is
     accepted for API parity (the reference uses it to scale its proximal
     Newton NNLS; this implementation derives the scale internally)."""

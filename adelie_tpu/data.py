@@ -108,19 +108,23 @@ def snp_unphased(
     n: int,
     p: int,
     *,
+    K: int = 1,
+    glm: str = "gaussian",
     sparsity: float = 0.95,
     one_ratio: float = 0.25,
     two_ratio: float = 0.05,
     missing_ratio: float = 0.1,
+    zero_penalty: float = 0.0,
     snr: float = 1.0,
     seed: int = 0,
     dtype=None,
 ):
     """Simulated SNP unphased calldata (reference data.py:222).
 
-    ``X`` entries are in {0, 1, 2, -9 (NA)}.  ``dtype`` sets the response/
-    glm dtype (pass float32 on x64-disabled runtimes to avoid truncation
-    warnings).
+    ``X`` entries are in {0, 1, 2, -9 (NA)}; the response comes from the
+    GLM named by ``glm`` (``K`` classes for multi-response families).
+    ``dtype`` sets the response/glm dtype (pass float32 on x64-disabled
+    runtimes to avoid truncation warnings).
     """
     rng = np.random.default_rng(seed)
     probs = np.array([
@@ -132,18 +136,41 @@ def snp_unphased(
     vals = np.array([0, 1, 2, -9], dtype=np.int8)
     X = vals[rng.choice(4, size=(n, p), p=probs)]
 
-    beta = rng.standard_normal(p)
+    groups = np.arange(p)
+    group_sizes = np.ones(p, dtype=int)
+    penalty = np.sqrt(group_sizes).astype(float)
+    if zero_penalty > 0:
+        penalty[rng.choice(p, int(zero_penalty * p), replace=False)] = 0
+        penalty /= np.linalg.norm(penalty) / np.sqrt(p)
+
+    beta = rng.standard_normal((p, K))
     zero_idx = rng.choice(p, int(sparsity * p), replace=False)
     beta[zero_idx] = 0.0
     Ximp = np.where(X == -9, 0, X).astype(float)
     eta = Ximp @ beta
-    signal_var = float(np.var(eta))
-    noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
-    y = eta + noise * rng.standard_normal(n)
-    if dtype is not None:
-        y = y.astype(dtype)
 
-    return {"X": X, "glm": glm_mod.gaussian(y), "y": y, "beta": beta}
+    if glm == "gaussian" and K == 1:
+        # original fast path, keeps the extra y/beta keys stable
+        signal_var = float(np.var(eta))
+        noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
+        y = eta.ravel() + noise * rng.standard_normal(n)
+        if dtype is not None:
+            y = y.astype(dtype)
+        glm_obj = glm_mod.gaussian(y)
+    else:
+        glm_obj = _sample_response(
+            glm, eta if K > 1 else eta[:, 0], snr, rng)
+        y = np.asarray(glm_obj.y) if hasattr(glm_obj, "y") else None
+
+    return {
+        "X": X,
+        "glm": glm_obj,
+        "y": y,
+        "beta": beta.ravel() if K == 1 else beta,
+        "groups": groups,
+        "group_sizes": group_sizes,
+        "penalty": penalty,
+    }
 
 
 def snp_phased_ancestry(
@@ -151,15 +178,20 @@ def snp_phased_ancestry(
     s: int,
     A: int,
     *,
+    K: int = 1,
+    glm: str = "gaussian",
     sparsity: float = 0.95,
     one_ratio: float = 0.25,
     two_ratio: float = 0.05,
+    zero_penalty: float = 0.0,
     snr: float = 1.0,
     seed: int = 0,
 ):
     """Simulated phased calldata with local ancestry (reference data.py:362).
 
-    Returns calldata (n, 2s) in {0,1} and ancestries (n, 2s) in {0..A-1}.
+    Returns calldata (n, 2s) in {0,1} and ancestries (n, 2s) in {0..A-1};
+    the response comes from the GLM named by ``glm`` (``K`` classes for
+    multi-response families).
     """
     rng = np.random.default_rng(seed)
     hap_prob = one_ratio + two_ratio
@@ -167,7 +199,14 @@ def snp_phased_ancestry(
     anc = rng.integers(0, A, size=(n, 2 * s)).astype(np.int8)
 
     p = s * A
-    beta = rng.standard_normal(p)
+    groups = np.arange(s) * A
+    group_sizes = np.full(s, A, dtype=int)
+    penalty = np.sqrt(group_sizes).astype(float)
+    if zero_penalty > 0:
+        penalty[rng.choice(s, int(zero_penalty * s), replace=False)] = 0
+        penalty /= np.linalg.norm(penalty) / np.sqrt(p)
+
+    beta = rng.standard_normal((p, K))
     zero_idx = rng.choice(p, int(sparsity * p), replace=False)
     beta[zero_idx] = 0.0
 
@@ -178,8 +217,23 @@ def snp_phased_ancestry(
             a = anc[:, 2 * j + hap]
             dense_X[np.arange(n), j * A + a] += col
     eta = dense_X @ beta
-    signal_var = float(np.var(eta))
-    noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
-    y = eta + noise * rng.standard_normal(n)
 
-    return {"X": X, "ancestries": anc, "glm": glm_mod.gaussian(y), "y": y}
+    if glm == "gaussian" and K == 1:
+        signal_var = float(np.var(eta))
+        noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
+        y = eta.ravel() + noise * rng.standard_normal(n)
+        glm_obj = glm_mod.gaussian(y)
+    else:
+        glm_obj = _sample_response(
+            glm, eta if K > 1 else eta[:, 0], snr, rng)
+        y = np.asarray(glm_obj.y) if hasattr(glm_obj, "y") else None
+
+    return {
+        "X": X,
+        "ancestries": anc,
+        "glm": glm_obj,
+        "y": y,
+        "groups": groups,
+        "group_sizes": group_sizes,
+        "penalty": penalty,
+    }

@@ -16,13 +16,6 @@ from .base import (
     MatrixNaiveTranspose,
 )
 
-# Reference-name aliases (reference matrix.py:79,199,260,40): the reference
-# calls its user-extensible Python bases PyMatrix*Base; here the protocol
-# bases themselves are the extension point, so the names coincide.
-PyMatrixNaiveBase = MatrixNaiveBase
-PyMatrixCovBase = MatrixCovBase
-PyMatrixConstraintBase = MatrixConstraintBase
-PyMatrixNaiveTranspose = MatrixNaiveTranspose
 from .dense import MatrixCovDense, MatrixCovLazy, MatrixNaiveDense
 from .wrappers import (
     MatrixCovBlockDiag,
@@ -34,6 +27,14 @@ from .wrappers import (
     MatrixNaiveRSubset,
     MatrixNaiveStandardize,
 )
+
+# Reference-name aliases (reference matrix.py:79,199,260,40): the reference
+# calls its user-extensible Python bases PyMatrix*Base; here the protocol
+# bases themselves are the extension point, so the names coincide.
+PyMatrixNaiveBase = MatrixNaiveBase
+PyMatrixCovBase = MatrixCovBase
+PyMatrixConstraintBase = MatrixConstraintBase
+PyMatrixNaiveTranspose = MatrixNaiveTranspose
 
 __all__ = [
     "MatrixNaiveBase",
@@ -64,9 +65,11 @@ def _wrap_naive(mat, dtype=None):
 
 
 def dense(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
+          copy: bool = False,
           mesh=None):
-    """Dense matrix (reference matrix.py:549).  ``n_threads`` accepted for
-    API parity; parallelism is XLA's concern here.
+    """Dense matrix (reference matrix.py:549).  ``n_threads`` and ``copy``
+    are accepted for API parity; parallelism is XLA's concern here, and
+    host data is always copied to the device on wrap.
 
     ``mesh``: a ``jax.sharding.Mesh`` (or None to use
     ``adelie_tpu.parallel.use_mesh``'s active mesh) — the observation axis
@@ -131,12 +134,12 @@ def eager_cov(mat, *, n_threads: int = 1):
     return MatrixCovDense(A)
 
 
-def kronecker_eye(mat, K: int, *, n_threads: int = 1):
+def kronecker_eye(mat, K: int, *, copy: bool = False, n_threads: int = 1):
     """``X (x) I_K`` (reference matrix.py:917)."""
     return MatrixNaiveKroneckerEye(_wrap_naive(mat), K)
 
 
-def lazy_cov(mat, *, n_threads: int = 1, dtype=None):
+def lazy_cov(mat, *, copy: bool = False, n_threads: int = 1, dtype=None):
     """Lazily computed Gram matrix (reference matrix.py:1000)."""
     return MatrixCovLazy(mat, dtype=dtype)
 
@@ -172,6 +175,7 @@ def subset(mat, indices, *, axis: int = 1, n_threads: int = 1):
 
 
 def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
+           copy: bool = False,
            layout: str = "auto"):
     """Sparse matrix (reference matrix.py:1301).
 
@@ -194,14 +198,15 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
     raise ValueError(f"Unknown method: {method}")
 
 
-def one_hot(mat, levels=None, *, n_threads: int = 1):
+def one_hot(mat, levels=None, *, copy: bool = False, n_threads: int = 1):
     """Implicit one-hot expansion of discrete columns (reference matrix.py:1073)."""
     from ._one_hot import MatrixNaiveOneHotDense
 
     return MatrixNaiveOneHotDense(mat, levels)
 
 
-def interaction(mat, intr_map, levels=None, *, n_threads: int = 1):
+def interaction(mat, intr_map, levels=None, *, copy: bool = False,
+                n_threads: int = 1):
     """Implicit pairwise-interaction expansion (reference matrix.py:721)."""
     from ._interaction import MatrixNaiveInteractionDense
 

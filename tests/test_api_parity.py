@@ -86,3 +86,28 @@ def test_reference_alias_names():
     assert ad.glm.multiglm_base is ad.glm.GlmMultiBase
     assert ad.matrix.PyMatrixNaiveBase is ad.matrix.MatrixNaiveBase
     assert ad.state.base is ad.state.gaussian_naive_base
+
+
+def test_data_simulators_reference_kwargs():
+    d = ad.data.snp_unphased(60, 25, K=3, glm="multinomial",
+                             zero_penalty=0.2, seed=1)
+    assert d["glm"].is_multi and d["beta"].shape == (25, 3)
+    assert (d["penalty"] == 0).sum() >= 1
+    np.testing.assert_allclose(np.linalg.norm(d["penalty"]) ** 2, 25, rtol=1e-9)
+
+    d2 = ad.data.snp_unphased(60, 25, glm="binomial", seed=2)
+    assert set(np.unique(d2["y"])) <= {0.0, 1.0}
+
+    d3 = ad.data.snp_phased_ancestry(40, 10, 3, K=2, glm="multigaussian",
+                                     zero_penalty=0.3, seed=3)
+    assert d3["glm"].is_multi
+    np.testing.assert_array_equal(d3["groups"], np.arange(10) * 3)
+
+    d4 = ad.data.snp_unphased(50, 20, glm="cox", seed=4)
+    assert d4["glm"].name.startswith("cox")
+
+    # copy kwarg accepted everywhere the reference accepts it
+    X = np.random.default_rng(0).standard_normal((10, 4))
+    ad.matrix.dense(X, copy=True)
+    ad.matrix.lazy_cov(X.T @ X, copy=True)
+    ad.matrix.kronecker_eye(X, 2, copy=True)
