@@ -31,6 +31,12 @@ if not _os.environ.get("ADELIE_TPU_NO_CACHE"):
                 _os.path.expanduser("~/.cache/adelie_tpu_xla"),
             )
             _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # XLA:CPU AOT results embed host CPU feature flags; reusing
+            # them across machines (or sandbox feature-detection changes)
+            # logs loud SIGILL warnings.  The cache win is the HLO-level
+            # entry, so keep the XLA-internal caches out of it.
+            _jax.config.update("jax_persistent_cache_enable_xla_caches",
+                               "none")
     except Exception:  # pragma: no cover
         pass
 

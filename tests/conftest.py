@@ -32,3 +32,6 @@ if os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
 else:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_adelie_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # keep XLA:CPU AOT blobs (which pin host CPU feature flags and log
+    # SIGILL warnings on reload) out of the cache — the HLO entry is the win
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
