@@ -44,20 +44,32 @@ class CVGrpnetResult:
     best_idx: int
 
     def plot_loss(self):
-        """Mean CV loss with 1-sd error bars (reference cv.py:47)."""
-        import matplotlib.pyplot as plt
+        """Mean CV loss along the path (role of reference cv.py:47).
 
-        ts = -np.log(self.lmdas)
-        avg_losses = np.mean(self.losses, axis=0)
-        std_losses = np.std(self.losses, axis=0, ddof=0)
-        fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
-        ax.errorbar(
-            x=ts, y=avg_losses, yerr=std_losses, linestyle="None",
-            marker=".", ecolor="grey", elinewidth=0.5, color="red", capsize=2,
+        Redesigned: mean loss as a line with a +-1 sd band (the K-fold
+        spread), and the selected lambda marked explicitly so the plot
+        answers "which lambda did CV pick and how confidently".
+        """
+        from . import _plotstyle as ps
+
+        fig, ax = ps.styled_axes(
+            f"{self.losses.shape[0]}-fold CV loss", r"$\lambda$",
+            "mean validation loss",
         )
-        ax.set_title("K-Fold CV Mean Loss")
-        ax.set_xlabel(r"$-\log(\lambda)$")
-        ax.set_ylabel("Mean Loss")
+        xs = ps.lambda_axis(ax, self.lmdas)
+        mean = np.mean(self.losses, axis=0)
+        sd = np.std(self.losses, axis=0, ddof=0)
+        ax.fill_between(xs, mean - sd, mean + sd, color=ps.PALETTE[0],
+                        alpha=0.15, linewidth=0, zorder=1,
+                        label=r"$\pm 1$ sd across folds")
+        ax.plot(xs, mean, color=ps.PALETTE[0], linewidth=2.0, zorder=3,
+                label="mean loss")
+        bi = int(self.best_idx)
+        ax.axvline(xs[bi], color=ps.PALETTE[1], linewidth=1.0,
+                   linestyle="--", zorder=2)
+        ax.scatter([xs[bi]], [mean[bi]], s=36, color=ps.PALETTE[1],
+                   zorder=4, label=rf"best $\lambda$ = {xs[bi]:.3g}")
+        ps.legend(ax)
         return fig, ax
 
     def fit(self, X, glm, **grpnet_params):

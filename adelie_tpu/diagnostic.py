@@ -218,83 +218,150 @@ def coefficient(lmda, betas, intercepts, lmdas):
 
 
 def plot_coefficients(betas, lmdas, groups=None, group_sizes=None):
-    """Coefficient profile plot (reference diagnostic.py:649)."""
-    import matplotlib.pyplot as plt
+    """Coefficient profile plot.
+
+    Same role as reference diagnostic.py:649, redesigned: the bulk of the
+    paths is drawn in a single muted ink; the top-k features by final
+    coefficient magnitude get categorical hues and a direct label at the
+    path's right edge (no per-line legend / rainbow cycling).
+    """
+    from . import _plotstyle as ps
 
     B = np.asarray(sp.csr_matrix(betas).todense())
-    ts = -np.log(np.asarray(lmdas))
-    fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
-    ax.plot(ts, B)
-    ax.set_title("Coefficient Profile")
-    ax.set_xlabel(r"$-\log(\lambda)$")
-    ax.set_ylabel(r"$\beta$")
+    fig, ax = ps.styled_axes("Coefficient paths", r"$\lambda$", r"$\beta_j$")
+    lmdas = ps.lambda_axis(ax, lmdas)
+    if B.size == 0:
+        return fig, ax
+    final_mag = np.abs(B[-1])
+    k = min(len(ps.PALETTE) - 2, B.shape[1])
+    top = np.argsort(final_mag)[::-1][:k]
+    top = [j for j in top if final_mag[j] > 0] or list(top[:1])
+    rest = np.setdiff1d(np.arange(B.shape[1]), top)
+    if rest.size:
+        ax.plot(lmdas, B[:, rest], color=ps.MUTED, linewidth=0.9, zorder=1)
+    # nudge apart right-edge labels that would overprint
+    span = float(B.max() - B.min()) or 1.0
+    min_gap = 0.035 * span
+    order = sorted(range(len(top)), key=lambda r: B[-1, top[r]])
+    label_y = [B[-1, top[r]] for r in order]
+    for i in range(1, len(label_y)):
+        label_y[i] = max(label_y[i], label_y[i - 1] + min_gap)
+    y_of = {top[r]: y for r, y in zip(order, label_y)}
+    for rank, j in enumerate(top):
+        c = ps.PALETTE[rank % len(ps.PALETTE)]
+        ax.plot(lmdas, B[:, j], color=c, linewidth=1.8, zorder=3)
+        ax.annotate(
+            f"x{j}", (lmdas[-1], y_of[j]), textcoords="offset points",
+            xytext=(4, 0), fontsize=8, color=c, va="center",
+        )
     return fig, ax
 
 
 def plot_devs(lmdas, devs):
-    """Deviance-explained plot (reference diagnostic.py:717)."""
-    import matplotlib.pyplot as plt
+    """Deviance-explained plot (role of reference diagnostic.py:717)."""
+    from . import _plotstyle as ps
 
-    ts = -np.log(np.asarray(lmdas))
-    fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
-    ax.plot(ts, devs, linestyle="-", color="r", marker=".")
-    ax.set_title("Deviance Profile")
-    ax.set_xlabel(r"$-\log(\lambda)$")
-    ax.set_ylabel("Deviance Explained (%)")
+    fig, ax = ps.styled_axes(
+        "Deviance explained along the path", r"$\lambda$",
+        "fraction of null deviance",
+    )
+    lmdas = ps.lambda_axis(ax, lmdas)
+    devs = np.asarray(devs, dtype=float)
+    ax.fill_between(lmdas, 0.0, devs, color=ps.PALETTE[0], alpha=0.12,
+                    linewidth=0, zorder=1)
+    ax.plot(lmdas, devs, color=ps.PALETTE[0], linewidth=2.0, zorder=3)
+    ax.set_ylim(bottom=0.0)
     return fig, ax
 
 
 def plot_set_sizes(state):
-    """Screen/active set size plot (reference diagnostic.py:745)."""
-    import matplotlib.pyplot as plt
+    """Screen/active set size plot (role of reference diagnostic.py:745).
 
-    ts = -np.log(np.asarray(state.lmdas))
-    fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
-    m = min(len(ts), len(state.screen_sizes), len(state.active_sizes))
-    ax.plot(ts[:m], state.screen_sizes[:m], label="screen", marker=".")
-    ax.plot(ts[:m], state.active_sizes[:m], label="active", marker=".")
-    ax.legend()
-    ax.set_title("Set Size Profile")
-    ax.set_xlabel(r"$-\log(\lambda)$")
-    ax.set_ylabel("Number of Groups")
+    Sizes are per-lambda integers, so these are step curves, not smooth
+    lines; the gap between the two steps is the screening overhead.
+    """
+    from . import _plotstyle as ps
+
+    fig, ax = ps.styled_axes(
+        "Screen vs. active set size", r"$\lambda$", "groups",
+    )
+    lmdas = ps.lambda_axis(ax, state.lmdas)
+    m = min(len(lmdas), len(state.screen_sizes), len(state.active_sizes))
+    ax.step(lmdas[:m], np.asarray(state.screen_sizes)[:m], where="mid",
+            color=ps.PALETTE[0], linewidth=1.8, label="screen set")
+    ax.step(lmdas[:m], np.asarray(state.active_sizes)[:m], where="mid",
+            color=ps.PALETTE[1], linewidth=1.8, label="active set")
+    ax.set_ylim(bottom=0)
+    ps.legend(ax)
     return fig, ax
 
 
 def plot_benchmark(state):
-    """Per-phase timing plot (reference diagnostic.py:861)."""
-    import matplotlib.pyplot as plt
+    """Where the solve time went (role of reference diagnostic.py:861).
 
-    fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
+    Total seconds per phase as a sorted horizontal bar chart (magnitude
+    comparison across a handful of categories), instead of overlaid
+    per-iteration traces.
+    """
+    from . import _plotstyle as ps
+
+    totals = {}
     for phase, times in state.benchmark.items():
         if len(times):
-            vals = [t if np.isscalar(t) else float(np.sum(t)) for t in times]
-            ax.plot(vals, marker=".", label=phase)
-    ax.legend()
-    ax.set_title("Benchmark Profile")
-    ax.set_xlabel("Iteration")
-    ax.set_ylabel("Time (s)")
+            totals[phase] = float(sum(
+                t if np.isscalar(t) else float(np.sum(t)) for t in times
+            ))
+    fig, ax = ps.styled_axes("Time per solver phase", "seconds", "")
+    if totals:
+        order = sorted(totals, key=totals.get)
+        vals = [totals[k] for k in order]
+        ax.barh(order, vals, height=0.62, color=ps.PALETTE[0], zorder=3)
+        for i, v in enumerate(vals):
+            ax.annotate(f"{v:.3g}s", (v, i), textcoords="offset points",
+                        xytext=(4, 0), fontsize=8, color=ps.INK,
+                        va="center")
+        ax.grid(False, axis="y")
     return fig, ax
 
 
 def plot_kkt(lmdas, scores, idx=None):
-    """KKT scores vs lambda threshold (reference diagnostic.py:991)."""
-    import matplotlib.pyplot as plt
+    """KKT slack plot (role of reference diagnostic.py:991).
 
-    lmdas = np.asarray(lmdas)
-    ts = -np.log(lmdas)
-    fig, ax = plt.subplots(figsize=(9, 6), layout="constrained")
+    Plots the relative slack ``s_g/lambda - 1`` for every group; points
+    that violate the KKT bound (slack > 0 beyond tolerance) are drawn in
+    the reserved alert hue so failures are visible without reading the
+    axis.  With ``idx``, shows that one group's score against the lambda
+    threshold line.
+    """
+    from . import _plotstyle as ps
+
+    lmdas_np = np.asarray(lmdas)
+    scores = np.asarray(scores)
     if idx is None:
-        relative = scores / lmdas[:, None] - 1
-        ax.plot(ts, relative, linestyle="None", marker=".", color="b")
-        ax.axhline(0, color="r", linestyle="--")
-        ax.set_ylabel(r"$s_g / \lambda - 1$")
+        fig, ax = ps.styled_axes(
+            "KKT slack by group", r"$\lambda$", r"$s_g/\lambda - 1$",
+        )
+        xs = ps.lambda_axis(ax, lmdas_np)
+        rel = scores / lmdas_np[:, None] - 1
+        bad = rel > 1e-7
+        X = np.broadcast_to(xs[:, None], rel.shape)
+        ax.scatter(X[~bad], rel[~bad], s=6, color=ps.PALETTE[0],
+                   alpha=0.5, linewidths=0, zorder=2, label="satisfied")
+        if bad.any():
+            ax.scatter(X[bad], rel[bad], s=14, color=ps.ALERT, marker="x",
+                       zorder=4, label="violated")
+            ps.legend(ax)
+        ax.axhline(0, color=ps.INK, linewidth=0.8, linestyle="--", zorder=3)
     else:
-        ax.plot(ts, scores[:, idx], marker=".")
-        ax.plot(ts, lmdas, color="r", linestyle="--", label=r"$\lambda$")
-        ax.legend()
-        ax.set_ylabel("score")
-    ax.set_title("KKT Failure Check")
-    ax.set_xlabel(r"$-\log(\lambda)$")
+        fig, ax = ps.styled_axes(
+            f"KKT score of group {idx}", r"$\lambda$", "score",
+        )
+        xs = ps.lambda_axis(ax, lmdas_np)
+        ax.plot(xs, lmdas_np, color=ps.INK, linewidth=0.8, linestyle="--",
+                label=r"threshold $\lambda$", zorder=2)
+        ax.plot(xs, scores[:, idx], color=ps.PALETTE[0], linewidth=1.8,
+                zorder=3, label=f"$s_{{{idx}}}$")
+        ps.legend(ax)
     return fig, ax
 
 
