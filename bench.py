@@ -419,6 +419,46 @@ def _gwas_bench():
     }
 
 
+def _selftest_bench():
+    """No-device block used to exercise the _run_isolated harness."""
+    return {"ok": True}
+
+
+def _run_isolated(block_fn, timeout_s):
+    """Run one bench block in a fresh subprocess with a hard timeout.
+
+    The block's JSON result is read from a marker line on its stdout; on
+    timeout the child is killed and a structured error is returned, so a
+    hung device transfer inside one block cannot take down the whole
+    bench run.  The child shares the persistent compile cache.
+    """
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import json, sys\n"
+        f"sys.path.insert(0, {here!r})\n"
+        f"from bench import {block_fn}\n"
+        f"res = {block_fn}()\n"
+        "print('@@BENCH@@' + json.dumps(res), flush=True)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], cwd=here, timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"{block_fn} timed out after {timeout_s}s"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("@@BENCH@@"):
+            return json.loads(line[len("@@BENCH@@"):])
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {"error": f"{block_fn} rc={proc.returncode}: " +
+                     " | ".join(tail)[:300]}
+
+
 def main():
     import jax
 
@@ -540,16 +580,14 @@ def main():
     except Exception as exc:
         grouped_pin = {"error": str(exc)[:200]}
 
-    try:
-        eur = _eur_bench() if jax.default_backend() == "tpu" else None
-    except Exception as exc:
-        eur = {"error": str(exc)[:200]}
-
-    try:
-        north = _north_star_bench() if jax.default_backend() == "tpu" \
-            else None
-    except Exception as exc:
-        north = {"error": str(exc)[:200]}
+    # the two big-data blocks run in SUBPROCESSES with hard timeouts: a
+    # hang there (tunnel degradation mid-stream) must not swallow the
+    # headline JSON line this script exists to print
+    if jax.default_backend() == "tpu":
+        eur = _run_isolated("_eur_bench", timeout_s=1800)
+        north = _run_isolated("_north_star_bench", timeout_s=3600)
+    else:
+        eur = north = None
 
     print(json.dumps({
         "metric": (
