@@ -572,8 +572,12 @@ def _build_cov_chunk_step(num_groups: int, qmax: int):
                 # invariance: grad = v - A[:, cols] beta (solver_gaussian_cov)
                 A_cols = A_full[:, safe] * ok[None, :]
                 grad = v_full - A_cols @ beta_n
-                beta_cols = jnp.zeros_like(grad).at[safe].set(
-                    jnp.where(ok, beta_n, 0.0), mode="drop"
+                # OOB sentinel for the scatter only (safe stays clamped
+                # for the gather above): drop padded slots instead of
+                # racing them against a real slot mapping to column 0
+                safe_set = jnp.where(ok, cols_padded, grad.shape[0])
+                beta_cols = jnp.zeros_like(grad).at[safe_set].set(
+                    beta_n, mode="drop"
                 )
                 l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
                 gadj = grad - l2s * (penalty_cols * beta_cols)

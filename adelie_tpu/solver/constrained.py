@@ -313,9 +313,10 @@ def build_constrained_chunk_step(X, intercept: bool, num_groups: int,
 
                 # unconstrained-form abs_grad ...
                 ok = cols_padded >= 0
-                safe = jnp.where(ok, cols_padded, 0)
+                # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+                safe = jnp.where(ok, cols_padded, grad.shape[0])
                 beta_cols = jnp.zeros_like(grad).at[safe].set(
-                    jnp.where(ok, beta_n, 0.0), mode="drop"
+                    beta_n, mode="drop"
                 )
                 l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
                 gadj = grad - l2s * (penalty_cols * beta_cols)

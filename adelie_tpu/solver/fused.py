@@ -77,9 +77,10 @@ def build_gaussian_chunk_step(X, intercept: bool, num_groups: int):
                     grad = grad - resid_sum * X_means
 
                 ok = cols_padded >= 0
-                safe = jnp.where(ok, cols_padded, 0)
+                # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+                safe = jnp.where(ok, cols_padded, grad.shape[0])
                 beta_cols = jnp.zeros_like(grad).at[safe].set(
-                    jnp.where(ok, beta_n, 0.0), mode="drop"
+                    beta_n, mode="drop"
                 )
                 l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
                 gadj = grad - l2s * (penalty_cols * beta_cols)
@@ -209,9 +210,10 @@ def build_gaussian_step(X, intercept: bool, num_groups: int):
 
         # abs_grad (reference update_abs_grad, solver_base.hpp:21-110)
         ok = cols_padded >= 0
-        safe = jnp.where(ok, cols_padded, 0)
+        # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+        safe = jnp.where(ok, cols_padded, grad.shape[0])
         beta_cols = jnp.zeros_like(grad).at[safe].set(
-            jnp.where(ok, beta, 0.0), mode="drop"
+            beta, mode="drop"
         )
         l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
         gadj = grad - l2s * (penalty_cols * beta_cols)

@@ -113,9 +113,10 @@ def _kkt_block(mul_fn, X_data, resid, beta, cols_padded, group_ids,
     ones = jnp.ones_like(resid)
     grad = mul_fn(X_data, resid, ones)
     ok = cols_padded >= 0
-    safe = jnp.where(ok, cols_padded, 0)
+    # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+    safe = jnp.where(ok, cols_padded, grad.shape[0])
     beta_cols = jnp.zeros_like(grad).at[safe].set(
-        jnp.where(ok, beta, 0.0), mode="drop"
+        beta, mode="drop"
     )
     l2s = (1.0 - alpha) * jnp.minimum(lmda, 1e30)
     gadj = grad - l2s * (penalty_cols * beta_cols)

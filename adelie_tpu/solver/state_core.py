@@ -50,10 +50,11 @@ def abs_grad_kernel(grad, cols_padded, beta_padded, penalty_cols, group_ids,
     split disappears because beta is densified (zero off-screen).
     """
     ok = cols_padded >= 0
-    safe = jnp.where(ok, cols_padded, 0)
-    beta_cols = jnp.zeros_like(grad).at[safe].set(
-        jnp.where(ok, beta_padded, 0.0), mode="drop"
-    )
+    # out-of-bounds sentinel: mode="drop" then discards padded slots (a
+    # clamp to index 0 would make padded slots race with a real slot
+    # mapping to column 0 — scatter order with duplicates is undefined)
+    safe = jnp.where(ok, cols_padded, grad.shape[0])
+    beta_cols = jnp.zeros_like(grad).at[safe].set(beta_padded, mode="drop")
     # multiply (penalty * beta) first: at the huge-lambda dry fit beta is
     # nonzero only where penalty == 0, so the product is exactly 0 and the
     # large l2_scale never meets a nonzero operand (TPU f64 has f32 range).

@@ -151,10 +151,9 @@ def kkt_finalize(
     :410-433, vectorized over the whole lambda chunk)."""
     G = Gfull - X_means[:, None] * rsums[None, :] if intercept else Gfull
     ok = cols_padded >= 0
-    safe = jnp.where(ok, cols_padded, 0)
-    Bcols = jnp.zeros_like(G).at[safe, :].set(
-        jnp.where(ok[:, None], betas_e.T, 0.0), mode="drop"
-    )
+    # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+    safe = jnp.where(ok, cols_padded, G.shape[0])
+    Bcols = jnp.zeros_like(G).at[safe, :].set(betas_e.T, mode="drop")
     l2s = (1.0 - alpha) * jnp.minimum(lmdas, 1e30)   # (C,)
     gadj = G - (penalty_cols[:, None] * Bcols) * l2s[None, :]
     sq = jax.ops.segment_sum(gadj * gadj, group_ids, num_segments=num_groups)

@@ -235,3 +235,35 @@ def test_check_state_catches_corruptions():
         setattr(st_bad, field, bad)
         with _pytest.raises(AssertionError, match=msg):
             ad.state.check_state(st_bad)
+
+
+def test_abs_grad_kernel_padded_slot_does_not_race_column0():
+    """Padded screen slots (cols_padded == -1) must be DROPPED, not clamped
+    to column 0: with a real slot mapping to column 0 and alpha < 1, a
+    clamped scatter makes the padding race column 0's beta (XLA scatter
+    order with duplicate indices is undefined)."""
+    import jax.numpy as jnp
+
+    from adelie_tpu.solver.state_core import abs_grad_kernel
+
+    p, G = 6, 3
+    grad = np.arange(1.0, p + 1.0)
+    group_ids = np.repeat(np.arange(G), 2)
+    penalty_cols = np.ones(p)
+    l2 = 0.4  # (1 - alpha) * lmda
+    # screen slots: col 0 (beta=2.0) and col 3 (beta=-1.0) + 2 padded slots
+    cols_padded = np.array([0, 3, -1, -1], np.int32)
+    beta_padded = np.array([2.0, -1.0, 123.0, -456.0])  # garbage in padding
+
+    got = np.asarray(abs_grad_kernel(
+        jnp.asarray(grad), jnp.asarray(cols_padded),
+        jnp.asarray(beta_padded), jnp.asarray(penalty_cols),
+        jnp.asarray(group_ids), jnp.asarray(l2), G,
+    ))
+
+    beta_full = np.zeros(p)
+    beta_full[0] = 2.0
+    beta_full[3] = -1.0
+    gadj = grad - l2 * penalty_cols * beta_full
+    want = np.sqrt(np.add.reduceat(gadj * gadj, [0, 2, 4]))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
