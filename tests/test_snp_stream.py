@@ -218,3 +218,32 @@ def test_streamed_grpnet_mesh(tmp_path):
         np.asarray(st1.betas.todense()), np.asarray(st2.betas.todense()),
         atol=1e-9,
     )
+
+
+def test_streamed_glm_cox_matches_inhbm(tmp_path):
+    """Streamed Cox IRLS == fused in-HBM cox path (the survival GLM has
+    extra index machinery inside the IRLS core; nothing in the streamed
+    driver may depend on separability)."""
+    io, _ = _make_io(tmp_path, 180, 48, seed=29, name="cx.snpdat")
+    rng = np.random.default_rng(9)
+    n = 180
+    stop = rng.exponential(1.0, n) + 0.05
+    status = (rng.uniform(size=n) < 0.7).astype(np.float64)
+    glm_kw = dict(stop=stop, status=status)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.cox(**glm_kw), lmda_path_size=8,
+                         min_ratio=0.1, progress_bar=False)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, ad.glm.cox(**glm_kw), lmda_path_size=8,
+                         min_ratio=0.1, progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    B_h = np.asarray(st_h.betas.todense())
+    B_s = np.asarray(st_s.betas.todense())
+    assert (B_h != 0).sum() > 0
+    np.testing.assert_allclose(B_h, B_s, atol=1e-8)
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-8)
