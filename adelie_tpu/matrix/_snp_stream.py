@@ -221,8 +221,20 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
     def mul_many(self, U):
         """X^T U_c for every row c of ``U`` ((C, n), already weight-
         multiplied) in ONE double-buffered pass over the packed bytes.
-        Returns (p, C) on device."""
+        Returns (p, C) on device.
+
+        C is padded to a power-of-2 bucket (>= 4): each distinct C is a
+        separate device program (a ~minute of Mosaic compile on TPU), and
+        the decode-bound kernel runs extra residual columns nearly free —
+        so the setup sweeps (C=1..2) and the chunk KKT sweeps share at
+        most two compiled kernels instead of one per call shape."""
         U = jnp.asarray(U, self.dtype)
+        C = U.shape[0]
+        C_pad = max(4, 1 << (C - 1).bit_length())
+        if C_pad != C:
+            U = jnp.concatenate(
+                [U, jnp.zeros((C_pad - C, U.shape[1]), U.dtype)]
+            )
         n = self._rows
         if self._use_pallas():
             from ._snp_pallas import snp_mul_many_pallas
@@ -246,7 +258,7 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
             outs.append(f(cur, self._impute_dev[k]))
             cur = nxt
         out = jnp.concatenate(outs, axis=0)
-        return out[: self._cols]
+        return out[: self._cols, :C]
 
     def sq_mul(self, w):
         w = jnp.asarray(w, self.dtype)

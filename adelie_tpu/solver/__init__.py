@@ -210,14 +210,21 @@ def grpnet(
         offs = jnp.asarray(offsets_np, dtype)
         if warm_start is None:
             ones = jnp.ones((n,), dtype)
-            X_means = X.mul(ones, weights)
             y_off = y - offs
             y_mean = float(jnp.vdot(weights, y_off))
             yc = y_off - y_mean if intercept else y_off
             y_var = float(jnp.vdot(weights, yc * yc))
             resid = yc
             resid_sum = float(jnp.vdot(weights, resid))
-            grad = X.mul(resid, weights)
+            if getattr(X, "is_streaming", False):
+                # one pass over the host-streamed bytes for both full-p
+                # setup products (each pass re-streams the whole panel)
+                both = X.mul_many(jnp.stack([weights * ones,
+                                             weights * resid]))
+                X_means, grad = both[:, 0], both[:, 1]
+            else:
+                X_means = X.mul(ones, weights)
+                grad = X.mul(resid, weights)
             rsq = 0.0
         else:
             X_means = warm_start.X_means
