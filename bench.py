@@ -271,9 +271,7 @@ def _north_star_bench():
         os.path.abspath(__file__)), "benchmark"))
     import north_star_data as nsd
 
-    if not (os.path.exists(nsd.PACKED_PATH) and os.path.exists(nsd.Y_PATH)):
-        return {"skipped": "north-star cache absent "
-                           "(run benchmark/north_star_data.py)"}
+    nsd.ensure()   # builds the packed memmap + response if absent (~9 min)
 
     import jax
     import jax.numpy as jnp

@@ -22,9 +22,11 @@ import os
 
 import numpy as np
 
-N = 100_000
-P = 1_000_000
-NB = (N + 3) // 4                    # 25_000 bytes per SNP row
+# env overrides let the bench block be rehearsed end-to-end at small
+# scale (set both + ADELIE_TPU_NORTH_STAR_DIR before importing)
+N = int(os.environ.get("ADELIE_TPU_NORTH_STAR_N", 100_000))
+P = int(os.environ.get("ADELIE_TPU_NORTH_STAR_P", 1_000_000))
+NB = (N + 3) // 4                    # bytes per SNP row (25_000 at scale)
 CACHE_DIR = os.environ.get("ADELIE_TPU_NORTH_STAR_DIR", "/tmp/north_star")
 PACKED_PATH = os.path.join(CACHE_DIR, f"packed_p{P}_n{N}.u8")
 Y_PATH = os.path.join(CACHE_DIR, f"y_p{P}_n{N}.npz")
