@@ -404,7 +404,34 @@ def run_protocol(include=(1, 2, 3, 4, 5), workdir="/tmp/eur_surrogate"):
     return res
 
 
-if __name__ == "__main__":
+def publish(res, baseline_path=None, tag="r3"):
+    """Merge protocol results into BASELINE.json's ``published`` block
+    under ``<tag>_config*`` keys, plus the device it ran on."""
     import json
 
-    print(json.dumps(run_protocol(), indent=1))
+    import jax
+
+    if baseline_path is None:
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BASELINE.json",
+        )
+    with open(baseline_path) as f:
+        doc = json.load(f)
+    pub = doc.setdefault("published", {})
+    pub[f"{tag}_device"] = str(jax.devices()[0].device_kind)
+    for key, val in res.items():
+        pub[f"{tag}_{key}"] = val
+    with open(baseline_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return baseline_path
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    res = run_protocol()
+    print(json.dumps(res, indent=1))
+    if "--publish" in sys.argv:
+        print("published ->", publish(res))
