@@ -246,15 +246,15 @@ def grpnet(
         state.offsets = offs
         if has_constraints:
             if getattr(X, "is_streaming", False):
-                raise NotImplementedError(
-                    "constrained fits over host-streamed matrices are not "
-                    "supported; load the matrix into HBM "
-                    "(matrix.snp_unphased(..., streaming=False)) or drop "
-                    "the constraints."
-                )
-            from .constrained import ConstrainedGaussianDriver
+                from .streamed import StreamedConstrainedGaussianDriver
 
-            driver = ConstrainedGaussianDriver(state, list(constraints))
+                driver = StreamedConstrainedGaussianDriver(
+                    state, list(constraints)
+                )
+            else:
+                from .constrained import ConstrainedGaussianDriver
+
+                driver = ConstrainedGaussianDriver(state, list(constraints))
         elif getattr(X, "is_streaming", False):
             from .streamed import StreamedGaussianDriver
 

@@ -442,7 +442,8 @@ class ConstrainedGaussianDriver:
     def __init__(self, state, constraints):
         self.s = state
         self.pack = ConstraintPack(constraints)
-        self._X_data = state.X.mul_spec()[1]
+        if not getattr(state.X, "is_streaming", False):
+            self._X_data = state.X.mul_spec()[1]
         self._prev_dev = 0.0
         self._have_prev_dev = False
         self._penalty_groups_dev = jnp.asarray(
@@ -685,6 +686,12 @@ class ConstrainedGaussianDriver:
         s.benchmark["fit_screen"].append(sw.elapsed())
         return n_acc, early_stopped
 
+    def _select_chunk_step(self, pn_cfg):
+        s = self.s
+        return get_constrained_chunk_step(
+            s.X, s.intercept, len(s.groups), pn_cfg, self._exact_kkt
+        )
+
     def solve_path(self, progress_bar=False, exit_cond=None):
         """Chunked constrained path.  Screen-all problems skip screening
         entirely; otherwise the BASIL loop runs with the dual-corrected
@@ -699,9 +706,7 @@ class ConstrainedGaussianDriver:
             pk.pn_slack, pk.pn_nnls_tol, pk.pn_nnls_max_iters,
             pk.pn_pinball_tol, pk.pn_pinball_max_iters,
         )
-        self._chunk_step = get_constrained_chunk_step(
-            s.X, s.intercept, len(s.groups), pn_cfg, self._exact_kkt
-        )
+        self._chunk_step = self._select_chunk_step(pn_cfg)
         sw = Stopwatch().start()
         if exit_cond is not None:
             s.lmda_chunk = 1

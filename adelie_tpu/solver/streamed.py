@@ -594,3 +594,336 @@ class StreamedGlmDriver(GlmNaiveDriver):
                 raise MaxCDsError(int(fails[0]))
             raise SolverError("Maximum IRLS iterations reached.")
         return n_acc, early_stopped, kkt_clean
+
+
+# ===================================================================== #
+# streamed constrained gaussian driver                                  #
+# ===================================================================== #
+
+from .constrained import ConstrainedGaussianDriver  # noqa: E402
+
+
+def build_streamed_constrained_chunk_step(pn_cfg):
+    """Optimistic constrained lambda-chunk scan: per-lambda constrained
+    pin solves (duals on the carry, reference retry semantics) with NO
+    full-matrix gradient/KKT — those run streamed afterwards and the host
+    certifies the accepted prefix, exactly like the unconstrained
+    streamed driver above.  ``pn_cfg`` as in
+    constrained.get_constrained_chunk_step."""
+    from .pin_constrained import pin_cov_solve_constrained
+
+    pn_kw = {} if pn_cfg is None else dict(
+        cons_method="proximal_newton",
+        pn_slack=pn_cfg[0], pn_nnls_tol=pn_cfg[1],
+        pn_nnls_max_iters=pn_cfg[2], pn_pinball_tol=pn_cfg[3],
+        pn_pinball_max_iters=pn_cfg[4],
+    )
+
+    @jax.jit
+    def chunk_step(
+        A, Xs, means_s,
+        slot_begin, slot_size, eigvals, eigvecs, penalty_slots,
+        beta0, active0,
+        resid0, w,
+        has_cons, P, DH, UH, lo_pad, hi_pad, mu0,
+        rho, cons_tol, cons_max_iters,
+        lmdas, valid,
+        alpha, tol, dbeta_tol, newton_tol,
+        newton_max_iters, max_iters, rsq0,
+        y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
+        intercept_on,
+    ):
+        dtype = beta0.dtype
+
+        def per_lambda(carry, inp):
+            beta, active, resid, rsq, mu, stopped, prev_dev, have_prev = carry
+            lmda, is_valid = inp
+            run_it = is_valid & (~stopped)
+
+            def run(args):
+                (beta, active, resid, rsq, mu, stopped, prev_dev,
+                 have_prev) = args
+                resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
+                vw = w * resid
+                grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
+                grad_s = jnp.where(
+                    intercept_on, grad_s - means_s * resid_sum0, grad_s
+                )
+
+                (beta_n, _, active_n, rsq_n, mu_n, iters, done
+                 ) = pin_cov_solve_constrained(
+                    A, grad_s, beta, slot_begin, slot_size, eigvals,
+                    eigvecs, penalty_slots, active,
+                    has_cons, P, DH, UH, lo_pad, hi_pad, mu,
+                    rho, cons_tol, cons_max_iters,
+                    lmda, alpha, tol, dbeta_tol,
+                    newton_tol, newton_max_iters, max_iters, rsq,
+                    **pn_kw,
+                )
+
+                dbeta = beta_n - beta
+                resid_n = resid - jnp.matmul(Xs, dbeta, precision=_PRECISION)
+                resid_sum = jnp.vdot(w, resid_n, precision=_PRECISION)
+
+                dev = jnp.where(y_var > 0, rsq_n / y_var, 0.0)
+                early = early_exit_on & done & (
+                    (dev >= adev_tol)
+                    | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
+                )
+                stopped_n = (~done) | early
+
+                carry_n = (beta_n, active_n, resid_n, rsq_n, mu_n,
+                           stopped_n, jnp.where(done, dev, prev_dev),
+                           have_prev | done)
+                emit = (beta_n, active_n, rsq_n, resid_sum, done, dev,
+                        early, jnp.ones((), bool), iters, mu_n)
+                return carry_n, emit
+
+            def skip(args):
+                beta, active, _, _, mu, *_ = args
+                emit = (beta, active, jnp.zeros((), dtype),
+                        jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), dtype), jnp.zeros((), bool),
+                        jnp.zeros((), bool), jnp.zeros((), jnp.int32), mu)
+                return args, emit
+
+            return jax.lax.cond(run_it, run, skip, carry)
+
+        init = (beta0, active0, resid0, rsq0, mu0,
+                jnp.zeros((), bool), prev_dev, have_prev_dev)
+        carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
+        return carry, emits
+
+    return chunk_step
+
+
+def get_streamed_constrained_chunk_step(pn_cfg):
+    key = ("cons_chunk", pn_cfg)
+    hit = _STREAM_STEP_CACHE.get(key)
+    if hit is None:
+        hit = _STREAM_STEP_CACHE[key] = \
+            build_streamed_constrained_chunk_step(pn_cfg)
+    return hit
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "intercept"))
+def kkt_finalize_constrained(
+    Gfull, X_means, rsums, lmdas, alpha,
+    penalty_cols, betas_e, cols_padded, group_ids, penalty_groups,
+    screen_mask, mus_e,
+    cons_gids, cons_A, cons_lo, cons_hi, cons_start, cons_size,
+    cons_slot, cons_big, nnls_tol, nnls_max_iters,
+    num_groups, intercept,
+):
+    """kkt_finalize + the dual-corrected constrained abs_grad (reference
+    update_abs_grad, solver_base.hpp:21-110), vectorized over the whole
+    lambda chunk: screened constrained groups subtract A^T mu_c (the
+    per-lambda dual emitted by the optimistic scan), non-screen ones run
+    the sign-boxed solve_zero on their gradient window."""
+    from ..constraint._pn import _min_mu_resid
+
+    G = Gfull - X_means[:, None] * rsums[None, :] if intercept else Gfull
+    ok = cols_padded >= 0
+    # OOB sentinel: drop padded slots (clamping to 0 races with column 0)
+    safe = jnp.where(ok, cols_padded, G.shape[0])
+    Bcols = jnp.zeros_like(G).at[safe, :].set(betas_e.T, mode="drop")
+    l2s = (1.0 - alpha) * jnp.minimum(lmdas, 1e30)   # (C,)
+    gadj = G - (penalty_cols[:, None] * Bcols) * l2s[None, :]
+    sq = jax.ops.segment_sum(gadj * gadj, group_ids, num_segments=num_groups)
+    abs_grad_all = jnp.sqrt(jnp.maximum(sq, 0.0))    # (G, C)
+
+    C = lmdas.shape[0]
+    qc = cons_A.shape[2]
+    dtype = gadj.dtype
+    # pad so a trailing group's (qc,) window never clamps (dynamic_slice
+    # clamps out-of-bounds starts, silently reading the WRONG window)
+    gadj_pad = jnp.concatenate([gadj, jnp.zeros((qc, C), dtype)], axis=0)
+
+    def one_group(Ac, lo_c, hi_c, cstart, csize, slot):
+        cmask = (jnp.arange(qc) < csize)[:, None]
+        g_sl = jax.lax.dynamic_slice(
+            gadj_pad, (cstart, jnp.zeros((), cstart.dtype)), (qc, C)
+        )
+        g_sl = jnp.where(cmask, g_sl, 0.0)           # (qc, C)
+
+        def per_lambda(g_c, mu_c):
+            def screened(_):
+                corr = g_c - Ac.T @ mu_c[slot]
+                return jnp.sqrt(jnp.sum(corr * corr))
+
+            def unscreened(_):
+                _, rsq_z = _min_mu_resid(
+                    Ac, g_c, jnp.zeros((Ac.shape[0],), dtype),
+                    lo_c, hi_c, cons_big, nnls_tol, nnls_max_iters,
+                )
+                return jnp.sqrt(jnp.maximum(rsq_z, 0.0))
+
+            return jax.lax.cond(slot >= 0, screened, unscreened, None)
+
+        return jax.vmap(per_lambda, in_axes=(1, 0))(g_sl, mus_e)  # (C,)
+
+    corr_vals = jax.vmap(one_group)(
+        cons_A, cons_lo, cons_hi, cons_start, cons_size, cons_slot
+    )                                                 # (n_cons, C)
+    abs_grad_all = abs_grad_all.at[cons_gids, :].set(corr_vals)
+    viol = abs_grad_all > lmdas[None, :] * alpha * penalty_groups[:, None]
+    kkts = ~jnp.any(viol & ~screen_mask[:, None], axis=0)
+    return abs_grad_all, kkts, G
+
+
+class StreamedConstrainedGaussianDriver(ConstrainedGaussianDriver):
+    """Constrained gaussian BASIL driver over a host-streamed matrix.
+
+    Reuses ``ConstrainedGaussianDriver.solve_path`` (screening, dual
+    bookkeeping, chunk scheduling) with ``_run_chunk`` replaced by the
+    optimistic-fit + streamed-KKT + certify protocol of
+    :class:`StreamedGaussianDriver`; the chunk's duals ride the scan
+    carry and feed the post-hoc dual-corrected KKT."""
+
+    def _select_chunk_step(self, pn_cfg):
+        return get_streamed_constrained_chunk_step(pn_cfg)
+
+    def _run_chunk(self, lmdas, record):
+        from .gaussian import GaussianNaiveDriver
+
+        s = self.s
+        sw = Stopwatch().start()
+        cache = self._ensure()
+        pk = self.pack
+        dtype = s.dtype
+
+        C = int(s.lmda_chunk)
+        lmdas = np.asarray(lmdas, float)
+        nval = len(lmdas)
+        lm_pad = np.full(C, lmdas[-1] if nval else 1.0)
+        lm_pad[:nval] = lmdas
+        valid = np.zeros(C, bool)
+        valid[:nval] = True
+        lm_dev = jnp.asarray(lm_pad, dtype)
+
+        beta0_dev = cache.pad_screen_values(s.screen_beta, dtype)
+        active0 = cache.pad_group_bools(s.screen_is_active)
+        resid0 = s.resid
+
+        carry, emits = self._chunk_step(
+            cache.A, cache.Xs, cache.means_s,
+            cache.slot_begin, cache.slot_size, cache.eigvals, cache.eigvecs,
+            cache.penalty_slots,
+            beta0_dev, active0,
+            resid0, s.weights,
+            pk.has_cons, pk.P, pk.DH, pk.UH, pk.lo_pad, pk.hi_pad, pk.mu,
+            jnp.asarray(pk.rho, dtype),
+            jnp.asarray(pk.cons_tol, dtype),
+            jnp.asarray(pk.cons_max_iters, jnp.int32),
+            lm_dev, jnp.asarray(valid),
+            jnp.asarray(s.alpha, dtype), jnp.asarray(s.tol, dtype),
+            jnp.asarray(configs.dbeta_tol, dtype),
+            jnp.asarray(s.newton_tol, dtype),
+            jnp.asarray(s.newton_max_iters, jnp.int32),
+            jnp.asarray(s.max_iters, jnp.int32),
+            jnp.asarray(s.rsq, dtype),
+            jnp.asarray(s.y_var, dtype), jnp.asarray(s.adev_tol, dtype),
+            jnp.asarray(s.ddev_tol, dtype),
+            jnp.asarray(bool(s.early_exit)),
+            jnp.asarray(self._prev_dev, dtype),
+            jnp.asarray(self._have_prev_dev),
+            jnp.asarray(bool(s.intercept)),
+        )
+        (betas_e, actives_e, rsqs_e, rsums_e, dones_e, devs_e, earlys_e,
+         processed_e, iters_e, mus_e) = emits
+
+        (dones, devs, earlys, processed, rsqs, rsums_h, iters_np) = \
+            jax.device_get((dones_e, devs_e, earlys_e, processed_e,
+                            rsqs_e, rsums_e, iters_e))
+        n_proc = int(processed.sum())
+        if n_proc == 0:
+            s.benchmark["fit_screen"].append(sw.elapsed())
+            return 0, False
+
+        # ---- streamed KKT with dual corrections --------------------------
+        sw_k = Stopwatch().start()
+        U, rsums_dev = residual_stack(
+            resid0, cache.Xs, betas_e, beta0_dev, s.weights
+        )
+        Gfull = s.X.mul_many(U)
+        abs_grad_all, kkts, Gstack = kkt_finalize_constrained(
+            Gfull, s.X_means, rsums_dev, lm_dev,
+            jnp.asarray(s.alpha, dtype),
+            s._penalty_cols, betas_e, cache.cols_padded, s._group_ids,
+            self._penalty_groups_dev, self._screen_mask_dev(), mus_e,
+            jnp.asarray(pk.cons_gids), pk.cons_A, pk.cons_lo, pk.cons_hi,
+            pk.cons_start, pk.cons_size, pk.cons_slot, pk.cons_big,
+            jnp.asarray(max(pk.pn_nnls_tol, 1e-9), dtype),
+            jnp.asarray(min(pk.pn_nnls_max_iters, 10000), jnp.int32),
+            len(s.groups), bool(s.intercept),
+        )
+        kkts_h = np.asarray(jax.device_get(kkts))
+        s.benchmark["kkt"].append(sw_k.elapsed())
+
+        # ---- certify: accepted prefix (see StreamedGaussianDriver) -------
+        accept = dones[:n_proc] & kkts_h[:n_proc]
+        fails = np.flatnonzero(~accept)
+        pin_failed = bool(len(fails)) and not bool(dones[fails[0]])
+        if len(fails):
+            t = int(fails[0])
+            n_acc = t
+            early_stopped = False
+            if pin_failed:
+                t = t - 1
+        else:
+            t = n_proc - 1
+            n_acc = n_proc
+            early_stopped = bool(earlys[:n_proc].any())
+
+        # ---- record accepted solutions + their duals ---------------------
+        if record and n_acc:
+            S_val = cache.S_val
+            G_s = len(s.screen_set)
+            betas_acc, actives_acc, mus_acc = jax.device_get(
+                (betas_e[:n_acc], actives_e[:n_acc], mus_e[:n_acc])
+            )
+            for i in range(n_acc):
+                GaussianNaiveDriver._record(
+                    self, lm_pad[i], np.asarray(betas_acc[i][:S_val]),
+                    rsqs[i], rsums_h[i], cache,
+                )
+                duals = {}
+                for j, g in enumerate(s.screen_set):
+                    c = pk.constraints[g]
+                    if c is None:
+                        continue
+                    mu_g = np.asarray(mus_acc[i][j, : c.duals()])
+                    if np.any(mu_g != 0):
+                        duals[int(g)] = mu_g.astype(c.dtype)
+                if not hasattr(s, "duals"):
+                    s.duals = []
+                s.duals.append(duals)
+                s.n_valid_solutions.append(True)
+                s.active_sizes.append(int(np.asarray(actives_acc[i]).sum()))
+                s.screen_sizes.append(len(s.screen_set))
+                s.benchmark["cd_iters"].append(int(iters_np[i]))
+                s.benchmark["cd_updates"].append(int(iters_np[i]) * G_s)
+
+        # ---- advance state to the target iterate -------------------------
+        if t >= 0:
+            beta_t = betas_e[t]
+            beta_h, active_h, agrad_h, grad_col = jax.device_get(
+                (beta_t, actives_e[t], abs_grad_all[:, t], Gstack[:, t])
+            )
+            s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
+            s.screen_is_active = \
+                np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.resid = _resid_at(resid0, cache.Xs, beta_t, beta0_dev)
+            s.rsq = float(rsqs[t])
+            s.resid_sum = float(rsums_h[t])
+            s.abs_grad = np.asarray(agrad_h)
+            s.grad = jnp.asarray(grad_col)
+            s.lmda = float(lm_pad[t])
+            pk.store_mu(s, mus_e[t])
+        if record and n_acc:
+            self._prev_dev = float(devs[n_acc - 1])
+            self._have_prev_dev = True
+        s.benchmark["fit_screen"].append(sw.elapsed())
+        if pin_failed:
+            raise MaxCDsError(int(fails[0]))
+        return n_acc, early_stopped

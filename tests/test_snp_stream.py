@@ -131,8 +131,11 @@ def test_streamed_guards(tmp_path):
     m = ad.matrix.snp_unphased(io, streaming=True, dtype=np.float64)
     y = np.asarray(data["glm"].y)
     box1 = ad.constraint.box(np.full(1, -1.0), np.full(1, 1.0))
+    # constrained GAUSSIAN streams (StreamedConstrainedGaussianDriver);
+    # the constrained GLM path still requires the matrix in HBM
+    y01 = (y > np.median(y)).astype(np.float64)
     with pytest.raises(NotImplementedError, match="constrain"):
-        ad.grpnet(m, ad.glm.gaussian(y), constraints=[box1] * 30,
+        ad.grpnet(m, ad.glm.binomial(y01), constraints=[box1] * 30,
                   lmda_path_size=3, progress_bar=False)
     Y2 = np.stack([y, -y], axis=1)
     with pytest.raises(NotImplementedError, match="multi"):
@@ -247,3 +250,51 @@ def test_streamed_glm_cox_matches_inhbm(tmp_path):
     assert (B_h != 0).sum() > 0
     np.testing.assert_allclose(B_h, B_s, atol=1e-8)
     np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-8)
+
+
+def test_streamed_constrained_matches_inhbm(tmp_path):
+    """Streamed constrained gaussian (optimistic constrained scan +
+    dual-corrected streamed KKT) == in-HBM constrained path, with a
+    None-mixed constraint list, elastic net, and real BASIL screening."""
+    import adelie_tpu.constraint as ct
+
+    io, data = _make_io(tmp_path, 200, 60, seed=5, name="cn.snpdat")
+    y = np.asarray(data["glm"].y)
+    groups = np.arange(0, 60, 3)
+
+    def make_cons():
+        # constrain every other group; the rest unconstrained (None)
+        return [ct.box(np.full(3, -0.15), np.full(3, 0.15))
+                if gi % 2 == 0 else None for gi in range(len(groups))]
+
+    kw = dict(groups=groups, alpha=0.7, lmda_path_size=12, min_ratio=0.05,
+              progress_bar=False)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.gaussian(y), constraints=make_cons(),
+                         **kw)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, ad.glm.gaussian(y), constraints=make_cons(),
+                         **kw)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    B_h = np.asarray(st_h.betas.todense())
+    B_s = np.asarray(st_s.betas.todense())
+    assert (B_h != 0).sum() > 0
+    np.testing.assert_allclose(B_h, B_s, atol=2e-7)
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-7)
+    # constrained coordinates respect the box (solver tolerance slack)
+    for gi, g in enumerate(groups):
+        if gi % 2 == 0:
+            assert np.all(np.abs(B_s[:, g:g + 3]) <= 0.15 + 1e-3)
+    # per-lambda duals recorded identically
+    d_h = [{k: v for k, v in d.items()} for d in st_h.duals]
+    d_s = [{k: v for k, v in d.items()} for d in st_s.duals]
+    assert len(d_h) == len(d_s)
+    for a, b in zip(d_h, d_s):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-7)
