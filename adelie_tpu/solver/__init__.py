@@ -287,13 +287,6 @@ def grpnet(
         )
         state.grad = grad
         if has_constraints:
-            if getattr(X, "is_streaming", False):
-                raise NotImplementedError(
-                    "constrained GLM fits over host-streamed matrices are "
-                    "not supported; load the matrix into HBM "
-                    "(matrix.snp_unphased(..., streaming=False)) or drop "
-                    "the constraints."
-                )
             from .constrained import ConstrainedGlmDriver
 
             driver = ConstrainedGlmDriver(state, list(constraints))

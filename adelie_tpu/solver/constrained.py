@@ -1067,9 +1067,15 @@ class ConstrainedGlmDriver:
 
     def solve_path(self, progress_bar=False, exit_cond=None):
         """Chunked constrained IRLS path when every group is screened;
-        per-lambda BASIL otherwise (VERDICT r1 #6)."""
+        per-lambda BASIL otherwise (VERDICT r1 #6).  Host-streamed
+        matrices always take the per-lambda route: ``fit`` touches only
+        the screened gathers (HBM-resident) and ``update_invariance``'s
+        full gradient is one streamed ``X.mul`` pass per lambda — correct
+        though not chunk-amortized (the gaussian streamed driver is; use
+        it when the loss allows)."""
         s = self.s
-        if len(s.screen_set) != len(s.groups):
+        if (len(s.screen_set) != len(s.groups)
+                or getattr(s.X, "is_streaming", False)):
             from .basil import solve_core
 
             return solve_core(s, self, progress_bar=progress_bar,

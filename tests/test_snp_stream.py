@@ -130,13 +130,8 @@ def test_streamed_guards(tmp_path):
     io, data = _make_io(tmp_path, 60, 30, seed=2, name="b.snpdat")
     m = ad.matrix.snp_unphased(io, streaming=True, dtype=np.float64)
     y = np.asarray(data["glm"].y)
-    box1 = ad.constraint.box(np.full(1, -1.0), np.full(1, 1.0))
-    # constrained GAUSSIAN streams (StreamedConstrainedGaussianDriver);
-    # the constrained GLM path still requires the matrix in HBM
-    y01 = (y > np.median(y)).astype(np.float64)
-    with pytest.raises(NotImplementedError, match="constrain"):
-        ad.grpnet(m, ad.glm.binomial(y01), constraints=[box1] * 30,
-                  lmda_path_size=3, progress_bar=False)
+    # constrained fits stream (gaussian chunk-amortized, GLM per-lambda);
+    # only the multi-response kron reformulation requires the matrix in HBM
     Y2 = np.stack([y, -y], axis=1)
     with pytest.raises(NotImplementedError, match="multi"):
         ad.grpnet(m, ad.glm.multigaussian(Y2), lmda_path_size=3,
@@ -298,3 +293,36 @@ def test_streamed_constrained_matches_inhbm(tmp_path):
         assert sorted(a) == sorted(b)
         for k in a:
             np.testing.assert_allclose(a[k], b[k], atol=1e-7)
+
+
+def test_streamed_constrained_glm_matches_inhbm(tmp_path):
+    """Streamed constrained logistic fit (per-lambda BASIL route; the
+    full gradient is one streamed X.mul pass per lambda) == in-HBM."""
+    import adelie_tpu.constraint as ct
+
+    io, data = _make_io(tmp_path, 180, 36, seed=7, name="cg.snpdat")
+    y = np.asarray(data["glm"].y)
+    y01 = (y > np.median(y)).astype(np.float64)
+    groups = np.arange(0, 36, 3)
+
+    def mk():
+        return [ct.box(np.full(3, -0.1), np.full(3, 0.1)) for _ in groups]
+
+    kw = dict(groups=groups, lmda_path_size=8, min_ratio=0.1,
+              progress_bar=False)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.binomial(y01), constraints=mk(), **kw)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=8,
+                                     dtype=np.float64)
+        st_s = ad.grpnet(m_s, ad.glm.binomial(y01), constraints=mk(), **kw)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_h.error == "" and st_s.error == ""
+    B_h = np.asarray(st_h.betas.todense())
+    B_s = np.asarray(st_s.betas.todense())
+    assert (B_h != 0).sum() > 0
+    np.testing.assert_allclose(B_h, B_s, atol=5e-6)
+    np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-6)
+    assert np.all(np.abs(B_s) <= 0.1 + 1e-3)
