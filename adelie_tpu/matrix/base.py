@@ -84,6 +84,19 @@ class MatrixNaiveBase:
         """
         raise NotImplementedError
 
+    def mul_many(self, U):
+        """``X^T U_c`` for every row of ``U`` ((C, n), each row already
+        weight-multiplied) -> (p, C).  The streamed drivers batch a whole
+        lambda chunk's gradients through this.  Default: one ``mul`` per
+        row; payload-holding subclasses override with a single fused pass
+        (dense: one matmul; streamed SNP: one sweep over the packed
+        bytes)."""
+        U = jnp.asarray(U, self.dtype)
+        ones = jnp.ones((self.rows(),), U.dtype)
+        return jnp.stack(
+            [self.mul(U[c], ones) for c in range(U.shape[0])], axis=1
+        )
+
     def structure_key(self):
         """Hashable key identifying the *structure* (not data) baked into
         ``mul_spec``'s pure function — used to share compiled solver steps

@@ -49,6 +49,12 @@ class MatrixNaiveDense(MatrixNaiveBase):
         f, data = self.mul_spec()
         return f(data, jnp.asarray(v), jnp.asarray(w))
 
+    def mul_many(self, U):
+        return jnp.einsum(
+            "cn,np->pc", jnp.asarray(U, self.dtype), self._mat,
+            precision=_PRECISION,
+        )
+
     def mul_spec(self):
         from ..configs import configs
 

@@ -162,8 +162,17 @@ class MatrixNaiveCConcatenate(MatrixNaiveBase):
         ).astype(np.int64)
         self._cols = int(self._offsets[-1])
 
+    @property
+    def is_streaming(self):
+        return any(getattr(m, "is_streaming", False) for m in self._children)
+
     def mul(self, v, w):
         return jnp.concatenate([m.mul(v, w) for m in self._children])
+
+    def mul_many(self, U):
+        return jnp.concatenate(
+            [m.mul_many(U) for m in self._children], axis=0
+        )
 
     def mul_spec(self):
         specs = [m.mul_spec() for m in self._children]
@@ -351,9 +360,27 @@ class MatrixNaiveKroneckerEye(MatrixNaiveBase):
     def K(self):
         return self._K
 
+    @property
+    def is_streaming(self):
+        return bool(getattr(self._child, "is_streaming", False))
+
     def mul(self, v, w):
+        if self.is_streaming:
+            return self.mul_many(((jnp.asarray(v) * jnp.asarray(w)))
+                                 [None, :])[:, 0]
         f, data = self.mul_spec()
         return f(data, jnp.asarray(v), jnp.asarray(w))
+
+    def mul_many(self, U):
+        """One child ``mul_many`` over C*K residual streams: row (c, k)
+        holds class k of residual c, so a streamed child amortizes its
+        single pass over the packed bytes across classes AND lambdas."""
+        K, n, p = self._K, self._child.rows(), self._child.cols()
+        U = jnp.asarray(U, self.dtype)
+        C = U.shape[0]
+        V = U.reshape(C, n, K).transpose(0, 2, 1).reshape(C * K, n)
+        base = self._child.mul_many(V)            # (p, C*K)
+        return base.reshape(p, C, K).transpose(0, 2, 1).reshape(p * K, C)
 
     def mul_spec(self):
         cf, cdata = self._child.mul_spec()

@@ -111,13 +111,6 @@ def grpnet(
 
     # ---- multi-response reformulation (reference solver.py:700-763) ---- #
     if glm.is_multi:
-        if getattr(X, "is_streaming", False):
-            raise NotImplementedError(
-                "multi-response fits over host-streamed matrices are not "
-                "supported (the kronecker reformulation embeds X in a "
-                "fused device program); load the matrix into HBM "
-                "(matrix.snp_unphased(..., streaming=False))."
-            )
         from .multi import build_multi_problem
 
         return build_multi_problem(

@@ -185,10 +185,20 @@ def build_multi_problem(
         )
         state.grad = grad
         state.K = K
+        streamed = getattr(X_aug, "is_streaming", False)
         if constraints is not None:
-            from .constrained import ConstrainedGaussianDriver
+            if streamed:
+                from .streamed import StreamedConstrainedGaussianDriver
 
-            driver = ConstrainedGaussianDriver(state, constraints)
+                driver = StreamedConstrainedGaussianDriver(state, constraints)
+            else:
+                from .constrained import ConstrainedGaussianDriver
+
+                driver = ConstrainedGaussianDriver(state, constraints)
+        elif streamed:
+            from .streamed import StreamedGaussianDriver
+
+            driver = StreamedGaussianDriver(state)
         else:
             driver = GaussianNaiveDriver(state)
     else:
@@ -215,7 +225,17 @@ def build_multi_problem(
         )
         state.grad = grad
         state.K = K
-        driver = MultiGlmNaiveDriver(state, K, intercept)
+        if getattr(X_aug, "is_streaming", False):
+            from .streamed import StreamedGlmDriver
+
+            class _MultiStreamedGlmDriver(MultiGlmNaiveDriver,
+                                          StreamedGlmDriver):
+                """per-class null model from MultiGlmNaiveDriver; the
+                optimistic + streamed-KKT chunk from StreamedGlmDriver."""
+
+            driver = _MultiStreamedGlmDriver(state, K, intercept)
+        else:
+            driver = MultiGlmNaiveDriver(state, K, intercept)
         if constraints is not None:
             from .constrained import ConstrainedGlmDriver
 

@@ -125,17 +125,35 @@ def test_streamed_auto_factory(tmp_path):
         set_configs("snp_hbm_budget", None)
 
 
-def test_streamed_guards(tmp_path):
-    """Unsupported streamed combinations fail fast with a clear message."""
-    io, data = _make_io(tmp_path, 60, 30, seed=2, name="b.snpdat")
-    m = ad.matrix.snp_unphased(io, streaming=True, dtype=np.float64)
-    y = np.asarray(data["glm"].y)
-    # constrained fits stream (gaussian chunk-amortized, GLM per-lambda);
-    # only the multi-response kron reformulation requires the matrix in HBM
-    Y2 = np.stack([y, -y], axis=1)
-    with pytest.raises(NotImplementedError, match="multi"):
-        ad.grpnet(m, ad.glm.multigaussian(Y2), lmda_path_size=3,
-                  progress_bar=False)
+def test_streamed_multi_matches_inhbm(tmp_path):
+    """Every fit family streams: multigaussian + multinomial over the
+    kron-eye + concat wrappers (the child's single pass over the packed
+    bytes amortizes across classes AND lambdas) == in-HBM."""
+    io, _ = _make_io(tmp_path, 150, 40, seed=2, name="b.snpdat")
+    rng = np.random.default_rng(2)
+    Y = rng.standard_normal((150, 3))
+    Ym = np.eye(3)[rng.integers(0, 3, 150)]
+    kw = dict(lmda_path_size=8, min_ratio=0.1, progress_bar=False)
+    try:
+        set_configs("screen_all_max", 0)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=8,
+                                     dtype=np.float64)
+        st_h = ad.grpnet(m_h, ad.glm.multigaussian(Y), **kw)
+        st_s = ad.grpnet(m_s, ad.glm.multigaussian(Y), **kw)
+        sm_h = ad.grpnet(m_h, ad.glm.multinomial(Ym), **kw)
+        sm_s = ad.grpnet(m_s, ad.glm.multinomial(Ym), **kw)
+    finally:
+        set_configs("screen_all_max", None)
+    for a, b, tol in ((st_h, st_s, 2e-8), (sm_h, sm_s, 5e-7)):
+        assert a.error == "" and b.error == ""
+        B_a = np.asarray(a.betas.todense())
+        B_b = np.asarray(b.betas.todense())
+        assert (B_a != 0).sum() > 0
+        np.testing.assert_allclose(B_a, B_b, atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(a.intercepts), np.asarray(b.intercepts), atol=tol
+        )
 
 
 def test_streamed_glm_binomial_matches_inhbm(tmp_path):
