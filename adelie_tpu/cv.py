@@ -154,10 +154,14 @@ def _can_batch(X, glm, grpnet_params):
     GLM (weights enter only elementwise), or cox (whose weight-derived
     tie/at-risk arrays are recomputed on device per fold,
     GlmCox.weight_bundle) — in all cases the fold axis vmaps through the
-    fused IRLS.  Multi/constrained fall back to serial."""
+    fused IRLS.  Multi/constrained/host-streamed fall back to serial
+    (the fold-batched programs embed the matrix payload in a fused
+    device program; a streamed matrix streams per fold instead)."""
     if getattr(glm, "is_multi", False):
         return False
     if grpnet_params.get("constraints") is not None:
+        return False
+    if getattr(X, "is_streaming", False):
         return False
     if glm.name == "gaussian" and getattr(glm, "opt", False):
         return True

@@ -344,3 +344,22 @@ def test_streamed_constrained_glm_matches_inhbm(tmp_path):
     np.testing.assert_allclose(B_h, B_s, atol=5e-6)
     np.testing.assert_allclose(st_h.devs, st_s.devs, atol=1e-6)
     assert np.all(np.abs(B_s) <= 0.1 + 1e-3)
+
+
+def test_streamed_cv_serial_fallback(tmp_path):
+    """CV over a streamed matrix auto-falls back to the serial fold loop
+    (the fold-batched program embeds the matrix payload) and matches the
+    in-HBM fold-BATCHED CV — a cross-validation of both code paths."""
+    io, data = _make_io(tmp_path, 120, 24, seed=4, name="cv.snpdat")
+    y = np.asarray(data["glm"].y)
+    m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=8,
+                                 dtype=np.float64)
+    res_s = ad.cv_grpnet(m_s, ad.glm.gaussian(y), n_folds=3, seed=0,
+                         lmda_path_size=10)
+    m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float64)
+    res_h = ad.cv_grpnet(m_h, ad.glm.gaussian(y), n_folds=3, seed=0,
+                         lmda_path_size=10)
+    np.testing.assert_allclose(res_s.losses, res_h.losses, atol=1e-8)
+    with pytest.raises(ValueError, match="fold_batch"):
+        ad.cv_grpnet(m_s, ad.glm.gaussian(y), n_folds=3, seed=0,
+                     fold_batch=True)
