@@ -363,3 +363,28 @@ def test_streamed_cv_serial_fallback(tmp_path):
     with pytest.raises(ValueError, match="fold_batch"):
         ad.cv_grpnet(m_s, ad.glm.gaussian(y), n_folds=3, seed=0,
                      fold_batch=True)
+
+
+def test_streamed_f32_matches_inhbm(tmp_path):
+    """f32 (the real-TPU dtype) streamed == in-HBM f32 — de-risks the
+    hardware north-star run, which streams in f32."""
+    io, data = _make_io(tmp_path, 300, 96, seed=7, name="f32.snpdat")
+    y = np.asarray(data["glm"].y).astype(np.float32)
+    try:
+        set_configs("screen_all_max", 0)
+        m_s = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                     dtype=np.float32)
+        st_s = ad.grpnet(m_s, ad.glm.gaussian(y, dtype=np.float32),
+                         lmda_path_size=12, min_ratio=0.05,
+                         progress_bar=False)
+        m_h = ad.matrix.snp_unphased(io, streaming=False, dtype=np.float32)
+        st_h = ad.grpnet(m_h, ad.glm.gaussian(y, dtype=np.float32),
+                         lmda_path_size=12, min_ratio=0.05,
+                         progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    assert st_s.error == "" and st_h.error == ""
+    np.testing.assert_allclose(
+        np.asarray(st_s.betas.todense()), np.asarray(st_h.betas.todense()),
+        atol=5e-6,
+    )
