@@ -28,6 +28,9 @@ PALETTE = (
     "#8C8C00",  # olive (darkened yellow for contrast on white)
     "#555555",  # charcoal
 )
+# series hues for multi-line plots: PALETTE minus the reserved alert hue,
+# so an ordinary series can never wear the failure color
+SERIES = tuple(c for c in PALETTE if c != "#D55E00")
 INK = "#2b2b2b"        # primary text / single-series mark
 MUTED = "#b0b6bd"      # bulk series, de-emphasized
 GRID = "#d9dde2"

@@ -233,7 +233,7 @@ def plot_coefficients(betas, lmdas, groups=None, group_sizes=None):
     if B.size == 0:
         return fig, ax
     final_mag = np.abs(B[-1])
-    k = min(len(ps.PALETTE) - 2, B.shape[1])
+    k = min(len(ps.SERIES) - 1, B.shape[1])
     top = np.argsort(final_mag)[::-1][:k]
     top = [j for j in top if final_mag[j] > 0] or list(top[:1])
     rest = np.setdiff1d(np.arange(B.shape[1]), top)
@@ -248,7 +248,7 @@ def plot_coefficients(betas, lmdas, groups=None, group_sizes=None):
         label_y[i] = max(label_y[i], label_y[i - 1] + min_gap)
     y_of = {top[r]: y for r, y in zip(order, label_y)}
     for rank, j in enumerate(top):
-        c = ps.PALETTE[rank % len(ps.PALETTE)]
+        c = ps.SERIES[rank % len(ps.SERIES)]
         ax.plot(lmdas, B[:, j], color=c, linewidth=1.8, zorder=3)
         ax.annotate(
             f"x{j}", (lmdas[-1], y_of[j]), textcoords="offset points",
@@ -343,7 +343,9 @@ def plot_kkt(lmdas, scores, idx=None):
         )
         xs = ps.lambda_axis(ax, lmdas_np)
         rel = scores / lmdas_np[:, None] - 1
-        bad = rel > 1e-7
+        # active groups sit AT the boundary (rel ~ 0 up to solver/f32
+        # noise); only flag violations clearly beyond that equality band
+        bad = rel > 1e-3
         X = np.broadcast_to(xs[:, None], rel.shape)
         ax.scatter(X[~bad], rel[~bad], s=6, color=ps.PALETTE[0],
                    alpha=0.5, linewidths=0, zorder=2, label="satisfied")

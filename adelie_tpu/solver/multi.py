@@ -168,8 +168,16 @@ def build_multi_problem(
             resid = y_off.reshape(-1)
             resid_sum = float(jnp.sum(w_ms[:, None] * y_off))
             weights_flat = jnp.repeat(w_ms, K)
-            grad = X_aug.mul(resid, weights_flat)
-            X_means = X_aug.mul(jnp.ones_like(resid), weights_flat)
+            if getattr(X_aug, "is_streaming", False):
+                # one pass over the host-streamed bytes for both full-p
+                # setup products (each mul re-streams the whole panel)
+                both = X_aug.mul_many(jnp.stack(
+                    [weights_flat * resid, weights_flat]
+                ))
+                grad, X_means = both[:, 0], both[:, 1]
+            else:
+                grad = X_aug.mul(resid, weights_flat)
+                X_means = X_aug.mul(jnp.ones_like(resid), weights_flat)
         else:
             y_var = warm_start.y_var
             rsq = warm_start.rsq

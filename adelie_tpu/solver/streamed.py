@@ -631,18 +631,19 @@ def build_streamed_constrained_chunk_step(pn_cfg):
         alpha, tol, dbeta_tol, newton_tol,
         newton_max_iters, max_iters, rsq0,
         y_var, adev_tol, ddev_tol, early_exit_on, prev_dev, have_prev_dev,
-        intercept_on,
+        sweep_budget, intercept_on,
     ):
         dtype = beta0.dtype
 
         def per_lambda(carry, inp):
-            beta, active, resid, rsq, mu, stopped, prev_dev, have_prev = carry
+            (beta, active, resid, rsq, mu, stopped, prev_dev, have_prev,
+             cum) = carry
             lmda, is_valid = inp
             run_it = is_valid & (~stopped)
 
             def run(args):
                 (beta, active, resid, rsq, mu, stopped, prev_dev,
-                 have_prev) = args
+                 have_prev, cum) = args
                 resid_sum0 = jnp.vdot(w, resid, precision=_PRECISION)
                 vw = w * resid
                 grad_s = jnp.einsum("ns,n->s", Xs, vw, precision=_PRECISION)
@@ -670,11 +671,16 @@ def build_streamed_constrained_chunk_step(pn_cfg):
                     (dev >= adev_tol)
                     | (have_prev & (jnp.abs(dev - prev_dev) < ddev_tol))
                 )
-                stopped_n = (~done) | early
+                # cooperative watchdog guard (see fused.py:100-104): the
+                # chunk's total CD sweeps are bounded so an effectively
+                # stuck constrained pin solve cannot spin the device
+                # program past the TPU worker watchdog
+                cum_n = cum + iters
+                stopped_n = (~done) | early | (cum_n >= sweep_budget)
 
                 carry_n = (beta_n, active_n, resid_n, rsq_n, mu_n,
                            stopped_n, jnp.where(done, dev, prev_dev),
-                           have_prev | done)
+                           have_prev | done, cum_n)
                 emit = (beta_n, active_n, rsq_n, resid_sum, done, dev,
                         early, jnp.ones((), bool), iters, mu_n)
                 return carry_n, emit
@@ -690,7 +696,8 @@ def build_streamed_constrained_chunk_step(pn_cfg):
             return jax.lax.cond(run_it, run, skip, carry)
 
         init = (beta0, active0, resid0, rsq0, mu0,
-                jnp.zeros((), bool), prev_dev, have_prev_dev)
+                jnp.zeros((), bool), prev_dev, have_prev_dev,
+                jnp.zeros((), jnp.int32))
         carry, emits = jax.lax.scan(per_lambda, init, (lmdas, valid))
         return carry, emits
 
@@ -827,6 +834,7 @@ class StreamedConstrainedGaussianDriver(ConstrainedGaussianDriver):
             jnp.asarray(bool(s.early_exit)),
             jnp.asarray(self._prev_dev, dtype),
             jnp.asarray(self._have_prev_dev),
+            jnp.asarray(configs.chunk_sweep_budget, jnp.int32),
             jnp.asarray(bool(s.intercept)),
         )
         (betas_e, actives_e, rsqs_e, rsums_e, dones_e, devs_e, earlys_e,

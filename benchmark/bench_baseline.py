@@ -422,8 +422,18 @@ def publish(res, baseline_path=None, tag="r3"):
     pub[f"{tag}_device"] = str(jax.devices()[0].device_kind)
     for key, val in res.items():
         pub[f"{tag}_{key}"] = val
-    with open(baseline_path, "w") as f:
-        json.dump(doc, f, indent=1)
+    # serialize FIRST (numpy scalars coerced), then replace atomically —
+    # a mid-write failure must not truncate the existing BASELINE.json
+    def _np_safe(o):
+        if isinstance(o, np.generic):
+            return o.item()
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    text = json.dumps(doc, indent=1, default=_np_safe)
+    tmp = baseline_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, baseline_path)
     return baseline_path
 
 
