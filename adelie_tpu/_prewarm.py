@@ -146,6 +146,11 @@ def prewarm(
     streamed = bool(getattr(X, "is_streaming", False))
     if streamed:
         step = get_streamed_chunk_step()
+        # the mul_many tile program's compile key is bucket-INDEPENDENT
+        # (the tile and (C, n) shapes never change), so sweep the packed
+        # bytes once here rather than once per bucket pair
+        Gf_shared = X.mul_many(jnp.zeros((C, n), np.dtype(dtype)))
+        jax.block_until_ready(Gf_shared)
     else:
         step = get_gaussian_chunk_step(X, bool(intercept), G)
         X_data = X.mul_spec()[1]
@@ -169,9 +174,8 @@ def prewarm(
             U, rs = residual_stack(a["resid"], a["Xs"],
                                    jnp.zeros((C, S_cap), dtype), a["beta0"],
                                    a["w"])
-            Gf = X.mul_many(U)
             fin = kkt_finalize(
-                Gf, a["X_means"], rs, a["lmdas"], a["alpha"],
+                Gf_shared, a["X_means"], rs, a["lmdas"], a["alpha"],
                 a["penalty_cols"], jnp.zeros((C, S_cap), dtype),
                 a["cols_padded"], a["group_ids"], a["penalty_groups"],
                 a["screen_mask"], G, bool(intercept),

@@ -21,40 +21,41 @@ def _make_groups(p, G, equal_groups, rng):
     return groups, group_sizes
 
 
-def _sample_response(glm_name, eta, snr, rng, weights=None):
+def _sample_response(glm_name, eta, snr, rng, weights=None, dtype=None):
     K = eta.shape[1] if eta.ndim == 2 else 1
     signal_var = float(np.var(eta))
     noise_scale = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
 
     if glm_name == "gaussian":
         y = eta.ravel() + noise_scale * rng.standard_normal(eta.shape[0])
-        return glm_mod.gaussian(y, weights)
+        return glm_mod.gaussian(y, weights, dtype=dtype)
     if glm_name == "binomial":
         scale = np.sqrt(snr / max(signal_var, 1e-12))
         mu = 1.0 / (1.0 + np.exp(-eta.ravel() * min(scale, 1.0)))
         y = rng.binomial(1, mu).astype(float)
-        return glm_mod.binomial(y, weights)
+        return glm_mod.binomial(y, weights, dtype=dtype)
     if glm_name == "poisson":
         lam = np.exp(np.clip(eta.ravel(), -30, 5))
         y = rng.poisson(lam).astype(float)
-        return glm_mod.poisson(y, weights)
+        return glm_mod.poisson(y, weights, dtype=dtype)
     if glm_name == "cox":
         n = eta.shape[0]
         u = rng.uniform(size=n)
         stop = -np.log(u) * np.exp(-np.clip(eta.ravel(), -30, 30))
         start = np.zeros(n)
         status = rng.binomial(1, 0.7, size=n).astype(float)
-        return glm_mod.cox(start=start, stop=stop, status=status, weights=weights)
+        return glm_mod.cox(start=start, stop=stop, status=status,
+                           weights=weights, dtype=dtype)
     if glm_name == "multigaussian":
         y = eta + noise_scale * rng.standard_normal(eta.shape)
-        return glm_mod.multigaussian(y, weights)
+        return glm_mod.multigaussian(y, weights, dtype=dtype)
     if glm_name == "multinomial":
         z = eta - eta.max(axis=1, keepdims=True)
         prob = np.exp(z)
         prob /= prob.sum(axis=1, keepdims=True)
         idx = np.array([rng.choice(eta.shape[1], p=pi) for pi in prob])
         y = np.eye(eta.shape[1])[idx]
-        return glm_mod.multinomial(y, weights)
+        return glm_mod.multinomial(y, weights, dtype=dtype)
     raise ValueError(f"Unknown glm: {glm_name}")
 
 
@@ -156,10 +157,10 @@ def snp_unphased(
         y = eta.ravel() + noise * rng.standard_normal(n)
         if dtype is not None:
             y = y.astype(dtype)
-        glm_obj = glm_mod.gaussian(y)
+        glm_obj = glm_mod.gaussian(y, dtype=dtype)
     else:
         glm_obj = _sample_response(
-            glm, eta if K > 1 else eta[:, 0], snr, rng)
+            glm, eta if K > 1 else eta[:, 0], snr, rng, dtype=dtype)
         y = np.asarray(glm_obj.y) if hasattr(glm_obj, "y") else None
 
     return {
@@ -186,6 +187,7 @@ def snp_phased_ancestry(
     zero_penalty: float = 0.0,
     snr: float = 1.0,
     seed: int = 0,
+    dtype=None,
 ):
     """Simulated phased calldata with local ancestry (reference data.py:362).
 
@@ -222,10 +224,10 @@ def snp_phased_ancestry(
         signal_var = float(np.var(eta))
         noise = np.sqrt(signal_var / snr) if signal_var > 0 else 1.0
         y = eta.ravel() + noise * rng.standard_normal(n)
-        glm_obj = glm_mod.gaussian(y)
+        glm_obj = glm_mod.gaussian(y, dtype=dtype)
     else:
         glm_obj = _sample_response(
-            glm, eta if K > 1 else eta[:, 0], snr, rng)
+            glm, eta if K > 1 else eta[:, 0], snr, rng, dtype=dtype)
         y = np.asarray(glm_obj.y) if hasattr(glm_obj, "y") else None
 
     return {

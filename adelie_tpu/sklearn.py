@@ -40,19 +40,15 @@ from .solver._css import _resid_given
 
 
 def _sigmoid(eta):
-    # numerically stable logistic inverse link
-    out = np.empty_like(eta, dtype=float)
-    pos = eta >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-eta[pos]))
-    ex = np.exp(eta[~pos])
-    out[~pos] = ex / (1.0 + ex)
-    return out
+    from scipy.special import expit
+
+    return expit(eta)
 
 
 def _softmax_rows(eta):
-    z = eta - np.max(eta, axis=-1, keepdims=True)
-    ez = np.exp(z)
-    return ez / np.sum(ez, axis=-1, keepdims=True)
+    from scipy.special import softmax
+
+    return softmax(eta, axis=-1)
 
 
 def _r2_score(y, yhat):

@@ -222,8 +222,11 @@ class GaussianNaiveDriver:
             processed_e,
         ))
 
-        if np.any(processed_np & ~dones_np):
-            raise MaxCDsError(int(np.argmax(processed_np & ~dones_np)))
+        # a pin non-convergence raises AFTER the accepted prefix is
+        # recorded and the state advanced (valid-partial-state contract,
+        # reference py_state.cpp:83-89 — the GLM and streamed drivers
+        # already honor it)
+        pin_fail = np.flatnonzero(processed_np & ~dones_np)
 
         n_proc = int(processed_np.sum())
         n_acc = int(accepts_np[:n_proc].sum())  # accepts are a prefix
@@ -265,6 +268,8 @@ class GaussianNaiveDriver:
                 self._prev_dev = float(prev_dev_h)
                 self._have_prev_dev = bool(have_prev_h)
         s.benchmark["fit_screen"].append(sw.elapsed())
+        if len(pin_fail):
+            raise MaxCDsError(int(pin_fail[0]))
         return n_acc, early_stopped, kkt_clean
 
     def solve_path(self, progress_bar=False, exit_cond=None):

@@ -53,11 +53,18 @@ def screen_gram(Xs, w, intercept: bool):
 
     With ``configs.compensated_reductions`` the contraction runs through the
     chunked-Kahan path (utils/compensated.py) — the flag is read at trace
-    time, consistent with the configs contract.
+    time, consistent with the configs contract.  Mesh-sharded blocks skip
+    the compensated path: its lax.scan over observation chunks would force
+    GSPMD to gather the sharded axis on every Gram recompute (the same
+    gate dense.mul_spec applies).
     """
     from ..configs import configs
 
-    if configs.compensated_reductions:
+    try:
+        sharded = len(Xs.devices()) > 1
+    except Exception:
+        sharded = False
+    if configs.compensated_reductions and not sharded:
         return _screen_gram_comp(
             Xs, w, intercept, int(configs.compensated_chunk)
         )
