@@ -59,7 +59,8 @@ class MatrixNaiveConvexGatedRelu(MatrixNaiveBase):
         self._mask = jnp.asarray(mask, self.dtype)
 
     def structure_key(self):
-        key = (type(self).__name__, self._rows, self._cols, self._is_sparse)
+        key = (type(self).__name__, self._rows, self._cols,
+               self._is_sparse, str(self.dtype))
         if self._is_sparse:
             key += self._Zsp.structure_key()
         return key

@@ -191,7 +191,8 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
     # ------------------------------------------------------------------ #
 
     def structure_key(self):
-        key = (type(self).__name__, self._rows, self._cols, self._tile)
+        key = (type(self).__name__, self._rows, self._cols, self._tile,
+               str(self.dtype))
         if self._mesh is not None:
             key = key + (tuple(d.id for d in self._mesh.devices.flat),
                          self._mesh.axis_names)

@@ -103,7 +103,8 @@ class MatrixNaiveSparse(MatrixNaiveBase):
             )
 
     def structure_key(self):
-        key = (type(self).__name__, self._rows, self._cols, self.layout)
+        key = (type(self).__name__, self._rows, self._cols, self.layout,
+               str(self.dtype))
         if self.layout == "padded":
             key += (self._cvals.shape[1], self._rvals.shape[1])
         return key

@@ -101,7 +101,8 @@ class MatrixNaiveBase:
         """Hashable key identifying the *structure* (not data) baked into
         ``mul_spec``'s pure function — used to share compiled solver steps
         across matrix instances with identical structure."""
-        key = (type(self).__name__, self._rows, self._cols)
+        key = (type(self).__name__, self._rows, self._cols,
+               str(getattr(self, "dtype", "")))
         child = getattr(self, "_child", None)
         if child is not None:
             key = key + (child.structure_key(),)
