@@ -388,3 +388,42 @@ def test_streamed_f32_matches_inhbm(tmp_path):
         np.asarray(st_s.betas.todense()), np.asarray(st_h.betas.todense()),
         atol=5e-6,
     )
+
+
+def test_streamed_constrained_and_multi_mesh(tmp_path):
+    """Streamed constrained + streamed multi compose with mesh-sharded
+    tiles (GSPMD over the byte axis) == unsharded streamed."""
+    import adelie_tpu.constraint as ct
+    from adelie_tpu import parallel
+
+    io, data = _make_io(tmp_path, 320, 48, seed=5, name="cm.snpdat")
+    y = np.asarray(data["glm"].y)
+    groups = np.arange(0, 48, 3)
+
+    def mk():
+        return [ct.box(np.full(3, -0.15), np.full(3, 0.15)) for _ in groups]
+
+    mesh = parallel.make_mesh(8)
+    kw = dict(groups=groups, lmda_path_size=8, min_ratio=0.1,
+              progress_bar=False)
+    Y = np.random.default_rng(1).standard_normal((320, 2))
+    try:
+        set_configs("screen_all_max", 0)
+        m1 = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16,
+                                    dtype=np.float64)
+        s1 = ad.grpnet(m1, ad.glm.gaussian(y), constraints=mk(), **kw)
+        sm1 = ad.grpnet(m1, ad.glm.multigaussian(Y), lmda_path_size=6,
+                        min_ratio=0.1, progress_bar=False)
+        m2 = ad.matrix.snp_unphased(io, streaming=True, tile_snps=16,
+                                    dtype=np.float64, mesh=mesh)
+        s2 = ad.grpnet(m2, ad.glm.gaussian(y), constraints=mk(), **kw)
+        sm2 = ad.grpnet(m2, ad.glm.multigaussian(Y), lmda_path_size=6,
+                        min_ratio=0.1, progress_bar=False)
+    finally:
+        set_configs("screen_all_max", None)
+    for a, b in ((s1, s2), (sm1, sm2)):
+        assert a.error == "" and b.error == ""
+        np.testing.assert_allclose(
+            np.asarray(a.betas.todense()), np.asarray(b.betas.todense()),
+            atol=1e-9,
+        )
