@@ -60,6 +60,15 @@ class Configs:
     # ~8 GB of a v5e's 16 GB for solver state, per-lambda gradient stacks
     # and streaming double-buffers.
     snp_hbm_budget: int = 8 << 30
+    # Overlap streamed H2D tile copies with the decode-matmul (double
+    # buffering, matrix/_snp_stream.py).  True is right on real hardware
+    # (PCIe DMA runs concurrently with compute).  Some transports — e.g.
+    # a tunneled/relayed device where host-side serialization shares one
+    # CPU core with the relay — degrade ~3x when a second device_put is
+    # dispatched before the first completes; set False there to serialize
+    # each tile copy (put -> force -> compute).  bench.py probes the live
+    # transport and sets this before the streamed blocks.
+    stream_h2d_overlap: bool = True
 
 
 _default = Configs()

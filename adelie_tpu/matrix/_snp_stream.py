@@ -32,6 +32,7 @@ import numpy as np
 
 from .base import MatrixNaiveBase
 from ._snp import unpack_2bit_np, _unpack_cols
+from ..configs import configs
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -178,6 +179,28 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
             )
         return jax.device_put(t)
 
+    @staticmethod
+    def _force_put(buf):
+        """Block until a tile's H2D copy completes (tiny D2H roundtrip —
+        block_until_ready is unreliable through relayed transports)."""
+        jax.device_get(buf[0, 0])
+        return buf
+
+    def _tiles(self):
+        """Yield (k, device_tile) in order.  Double-buffered (tile k+1's
+        copy dispatched before tile k's compute) when
+        ``configs.stream_h2d_overlap``; otherwise fully serialized —
+        some transports degrade ~3x under queued transfers."""
+        if configs.stream_h2d_overlap:
+            cur = self._put_tile(0)
+            for k in range(self._ntiles):
+                nxt = self._put_tile(k + 1) if k + 1 < self._ntiles else None
+                yield k, cur
+                cur = nxt
+        else:
+            for k in range(self._ntiles):
+                yield k, self._force_put(self._put_tile(k))
+
     def _use_pallas(self):
         # the Pallas kernel path: real TPU, f32, unsharded tiles
         return (
@@ -253,11 +276,8 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
                 return fj(tile, U, imp)
 
         outs = []
-        cur = self._put_tile(0)
-        for k in range(self._ntiles):
-            nxt = self._put_tile(k + 1) if k + 1 < self._ntiles else None
+        for k, cur in self._tiles():
             outs.append(f(cur, self._impute_dev[k]))
-            cur = nxt
         out = jnp.concatenate(outs, axis=0)
         return out[: self._cols, :C]
 
@@ -270,11 +290,8 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
             fj = jax.jit(functools.partial(_sq_mul_xla, n=n))
             self._jit_cache[key] = fj
         outs = []
-        cur = self._put_tile(0)
-        for k in range(self._ntiles):
-            nxt = self._put_tile(k + 1) if k + 1 < self._ntiles else None
+        for k, cur in self._tiles():
             outs.append(fj(cur, w, self._impute_dev[k]))
-            cur = nxt
         return jnp.concatenate(outs)[: self._cols]
 
     def tmul(self, beta):
@@ -293,6 +310,8 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
             s = k * self._tile
             e = min(s + self._tile, self._cols)
             b[: e - s] = beta[s:e]
-            out = out + fj(self._put_tile(int(k)),
-                           jnp.asarray(b), self._impute_dev[int(k)])
+            buf = self._put_tile(int(k))
+            if not configs.stream_h2d_overlap:
+                self._force_put(buf)
+            out = out + fj(buf, jnp.asarray(b), self._impute_dev[int(k)])
         return out
