@@ -336,6 +336,7 @@ def _north_star_bench():
     eff_gbps = 0.7 * max(probe["raw_h2d_gbps"], 1e-3)
     est_sweep_full = full_gb / eff_gbps + 0.5 * 16
     P_run = nsd.P
+    degraded = False
     if est_passes * est_sweep_full > budget_s - (time.perf_counter() - t_block):
         # largest still-streaming P (> configs.snp_hbm_budget packed) that
         # fits the budget; tile-aligned
@@ -346,7 +347,18 @@ def _north_star_bench():
 
         P_min = (int(_cfg.snp_hbm_budget * 1.25) // nb) \
             // 65536 * 65536 + 65536
-        P_run = max(min(P_fit, nsd.P), P_min)
+        if P_fit < P_min:
+            # severely degraded transport (tunneled chip at ~MB/s): even
+            # the smallest above-HBM-budget run would blow the budget.
+            # Keep the streamed path honest by LOWERING the streaming
+            # threshold for this run so the matrix still streams at a
+            # transport-feasible size; the degradation + linear-in-P
+            # extrapolation are reported explicitly below.
+            P_run = min(max(P_fit, 4 * 65536), nsd.P)
+            _cfg.snp_hbm_budget = int(P_run * nb / 1.25)
+            degraded = True
+        else:
+            P_run = max(min(P_fit, nsd.P), P_min)
 
     io = nsd.NorthStarIO()
     if P_run < nsd.P:
@@ -402,6 +414,8 @@ def _north_star_bench():
         # H2D-dominated: the streamed phases scale linearly in P
         out["scaled_down_for_transport"] = True
         out["est_full_cold_s"] = round(cold * nsd.P / P_run, 1)
+    if degraded:
+        out["transport_degraded"] = True
     # warm fit only if it still fits the budget
     remaining = budget_s - (time.perf_counter() - t_block)
     if remaining > 1.2 * cold:
