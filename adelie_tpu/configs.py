@@ -69,6 +69,15 @@ class Configs:
     # each tile copy (put -> force -> compute).  bench.py probes the live
     # transport and sets this before the streamed blocks.
     stream_h2d_overlap: bool = True
+    # On a streamed-KKT chunk failure, union ALL groups violating at any
+    # converged lambda of the chunk into the screen set (not just the
+    # first failure's violators): the speculative gradient stack is
+    # already paid for by the chunk's single full-p pass, and each
+    # avoided retry saves a whole host->HBM sweep (25 GB at north-star
+    # scale).  Solutions remain KKT-certified but can differ from the
+    # in-HBM driver's within solver tolerance (the screen trajectory
+    # changes); set False to reproduce the in-HBM path bit-for-bit.
+    stream_speculative_union: bool = True
 
 
 _default = Configs()

@@ -168,6 +168,54 @@ def _resid_at(resid0, Xs, beta_t, beta0):
     return resid0 - jnp.matmul(Xs, beta_t - beta0, precision=_PRECISION)
 
 
+@jax.jit
+def _spec_viol_margin(abs_grad_all, lmdas, alpha, penalty_groups,
+                      screen_mask, ok_mask):
+    """Per-group worst KKT-violation margin across the chunk's converged
+    lambdas (-inf for screened groups / no violation anywhere)."""
+    thr = lmdas[None, :] * alpha * penalty_groups[:, None]
+    marg = jnp.where(ok_mask[None, :], abs_grad_all - thr, -jnp.inf)
+    marg = jnp.max(marg, axis=1)
+    return jnp.where(screen_mask, -jnp.inf, marg)
+
+
+def _union_speculative_violators(s, penalty_groups_dev, screen_mask_dev,
+                                 abs_grad_all, lm_dev, ok_mask_np):
+    """Grow the screen set with every group that violates KKT at ANY
+    converged lambda of the failed chunk — not just the first failure.
+
+    The post-failure fits are speculative (fit against the too-small
+    screen block), but their gradient stack is already paid for by the
+    chunk's single full-p streamed pass, and it predicts the groups the
+    coming retries would add one rollback at a time.  Unioning them all
+    now trades O(S^2) Gram growth for whole full-p re-sweeps — at
+    north-star scale one avoided retry saves a 25 GB host->HBM pass.
+    Correctness is unaffected: every accepted lambda still has to pass
+    the next streamed-KKT certificate.  Gated by
+    ``configs.stream_speculative_union`` (the screen trajectory — and
+    hence the exact iterate within solver tolerance — differs from the
+    in-HBM driver's when it fires).
+    """
+    if not configs.stream_speculative_union:
+        return
+    marg = _spec_viol_margin(
+        abs_grad_all, lm_dev, jnp.asarray(s.alpha, s.dtype),
+        penalty_groups_dev, screen_mask_dev, jnp.asarray(ok_mask_np),
+    )
+    marg_h = np.asarray(jax.device_get(marg))
+    idx = np.flatnonzero(marg_h > 0)
+    if not len(idx):
+        return
+    hash_ = s.screen_hash
+    idx = np.asarray([int(i) for i in idx if int(i) not in hash_], int)
+    room = s.max_screen_size - len(s.screen_set)
+    if len(idx) > room:
+        # over max_screen_size: keep the worst violators and let the
+        # driver's screen() raise MaxScreenSetError if truly exhausted
+        idx = idx[np.argsort(-marg_h[idx], kind="stable")][: max(room, 0)]
+    s.extend_screen_set(idx)
+
+
 class StreamedGaussianDriver(GaussianNaiveDriver):
     """Gaussian BASIL driver over a host-streamed matrix.
 
@@ -326,6 +374,11 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
         s.benchmark["fit_screen"].append(sw.elapsed())
         if pin_failed:
             raise MaxCDsError(int(fails[0]))
+        if not kkt_clean and not self.pin_mode:
+            _union_speculative_violators(
+                s, self._penalty_groups_dev, self._screen_mask(),
+                abs_grad_all, lm_dev, processed & dones,
+            )
         return n_acc, early_stopped, kkt_clean
 
 
@@ -593,6 +646,11 @@ class StreamedGlmDriver(GlmNaiveDriver):
             if not bool(pinoks[fails[0]]):
                 raise MaxCDsError(int(fails[0]))
             raise SolverError("Maximum IRLS iterations reached.")
+        if not kkt_clean:
+            _union_speculative_violators(
+                s, self._penalty_groups_dev, self._screen_mask(),
+                abs_grad_all, lm_dev, processed & fitoks,
+            )
         return n_acc, early_stopped, kkt_clean
 
 
@@ -934,4 +992,9 @@ class StreamedConstrainedGaussianDriver(ConstrainedGaussianDriver):
         s.benchmark["fit_screen"].append(sw.elapsed())
         if pin_failed:
             raise MaxCDsError(int(fails[0]))
+        if len(fails):
+            _union_speculative_violators(
+                s, self._penalty_groups_dev, self._screen_mask_dev(),
+                abs_grad_all, lm_dev, processed & dones,
+            )
         return n_acc, early_stopped

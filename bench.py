@@ -329,11 +329,13 @@ def _north_star_bench():
     full_gb = nsd.P * nb / 1e9
 
     # expected full-p passes: 2 sweeps (compile+sweep, clean sweep) + fit =
-    # setup + ~2 chunk-KKT passes (50 lambdas fit one chunk; screen-growth
-    # rollbacks re-sweep).  Streamed sweeps achieve ~0.7x the raw put rate
-    # (per-tile fixed costs + host slice copies).
-    est_passes = 2 + 3.5
-    eff_gbps = 0.7 * max(probe["raw_h2d_gbps"], 1e-3)
+    # setup + ~4 chunk-KKT passes (50 lambdas fit one chunk; screen-growth
+    # rollbacks re-sweep).  Constants calibrated on the tunneled chip
+    # (benchmark/stream_sanity.py, 2026-08-19: warm fit 198 s for 0.5 GB at
+    # raw 0.022 GB/s -> ~4.8 effective fit passes at ~0.55x the raw put
+    # rate, per-tile fixed costs + host slice copies included).
+    est_passes = 2 + 5.0
+    eff_gbps = 0.55 * max(probe["raw_h2d_gbps"], 1e-3)
     est_sweep_full = full_gb / eff_gbps + 0.5 * 16
     P_run = nsd.P
     degraded = False
@@ -354,7 +356,7 @@ def _north_star_bench():
             # threshold for this run so the matrix still streams at a
             # transport-feasible size; the degradation + linear-in-P
             # extrapolation are reported explicitly below.
-            P_run = min(max(P_fit, 4 * 65536), nsd.P)
+            P_run = min(max(P_fit, 2 * 65536), nsd.P)
             _cfg.snp_hbm_budget = int(P_run * nb / 1.25)
             degraded = True
         else:

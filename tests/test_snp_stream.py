@@ -15,6 +15,17 @@ from adelie_tpu.configs import configs, set_configs
 from adelie_tpu.matrix._snp import unpack_2bit_np
 
 
+@pytest.fixture(autouse=True)
+def _exact_stream_parity():
+    """These tests pin streamed == in-HBM bit-for-bit, which requires the
+    two drivers to take identical screening decisions — disable the
+    speculative violator union (it changes the screen trajectory; its own
+    test below re-enables it)."""
+    set_configs("stream_speculative_union", False)
+    yield
+    set_configs("stream_speculative_union", None)
+
+
 def _make_io(tmp_path, n, p, seed=0, name="s.snpdat"):
     data = ad.data.snp_unphased(n, p, seed=seed)
     f = str(tmp_path / name)
@@ -427,3 +438,40 @@ def test_streamed_constrained_and_multi_mesh(tmp_path):
             np.asarray(a.betas.todense()), np.asarray(b.betas.todense()),
             atol=1e-9,
         )
+
+
+def test_speculative_union_cuts_kkt_passes(tmp_path):
+    """The speculative violator union (configs.stream_speculative_union)
+    must (a) never increase the number of streamed full-p KKT passes,
+    (b) cut them on a screening-pressured path, and (c) keep the
+    solution equal to the exact-parity one at solver tolerance (the
+    screen trajectory differs; the optimum does not)."""
+    io, data = _make_io(tmp_path, 300, 120, seed=13)
+    kw = dict(lmda_path_size=20, min_ratio=0.02, progress_bar=False)
+    try:
+        set_configs("screen_all_max", 0)
+        m = ad.matrix.snp_unphased(io, streaming=True, tile_snps=32,
+                                   dtype=np.float64)
+        set_configs("stream_speculative_union", False)
+        st_off = ad.grpnet(m, data["glm"], **kw)
+        set_configs("stream_speculative_union", True)
+        st_on = ad.grpnet(m, data["glm"], **kw)
+    finally:
+        set_configs("screen_all_max", None)
+        set_configs("stream_speculative_union", None)
+    assert st_off.error == "" and st_on.error == ""
+    # every _run_chunk attempt does exactly one streamed KKT pass
+    passes_off = len(st_off.benchmark["kkt"])
+    passes_on = len(st_on.benchmark["kkt"])
+    assert passes_on <= passes_off
+    # the path must have had at least one retry for the union to matter;
+    # with retries present the union must save at least one full-p pass
+    n_chunks = -(-len(st_off.lmdas) // int(st_off.lmda_chunk))
+    if passes_off > n_chunks:
+        assert passes_on < passes_off
+    B_off = np.asarray(st_off.betas.todense())
+    B_on = np.asarray(st_on.betas.todense())
+    assert B_off.shape == B_on.shape
+    scale = max(np.abs(B_off).max(), 1e-12)
+    assert np.abs(B_off - B_on).max() / scale < 5e-4
+    np.testing.assert_allclose(st_off.devs, st_on.devs, atol=5e-4)
