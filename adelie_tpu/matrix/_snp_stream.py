@@ -153,6 +153,10 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
             jnp.asarray(self._impute_tile_np(k)) for k in range(self._ntiles)
         ]
         self._jit_cache = {}
+        # full passes over the packed bytes (mul_many/sq_mul sweeps) —
+        # the bench compares this against its estimated pass count so the
+        # streamed budget model self-corrects across rounds
+        self.sweeps = 0
 
     # ------------------------------------------------------------------ #
     # tile plumbing                                                       #
@@ -279,6 +283,7 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
         for k, cur in self._tiles():
             outs.append(f(cur, self._impute_dev[k]))
         out = jnp.concatenate(outs, axis=0)
+        self.sweeps += 1
         return out[: self._cols, :C]
 
     def sq_mul(self, w):
@@ -292,6 +297,7 @@ class MatrixNaiveSNPUnphasedStreamed(MatrixNaiveBase):
         outs = []
         for k, cur in self._tiles():
             outs.append(fj(cur, w, self._impute_dev[k]))
+        self.sweeps += 1
         return jnp.concatenate(outs)[: self._cols]
 
     def tmul(self, beta):

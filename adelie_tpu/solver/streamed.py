@@ -171,16 +171,23 @@ def _resid_at(resid0, Xs, beta_t, beta0):
 @jax.jit
 def _spec_viol_margin(abs_grad_all, lmdas, alpha, penalty_groups,
                       screen_mask, ok_mask):
-    """Per-group worst KKT-violation margin across the chunk's converged
-    lambdas (-inf for screened groups / no violation anywhere)."""
+    """Per-group worst RELATIVE KKT-violation margin across the chunk's
+    converged lambdas (-inf for screened groups / no violation anywhere).
+
+    Normalizing by the per-lambda threshold keeps margins comparable
+    across lambdas — raw margins let small-lambda speculative violators
+    dominate the truncation ordering (ADVICE r3 #1).  Unpenalized groups
+    (thr == 0) are always screened, so the eps floor never selects."""
     thr = lmdas[None, :] * alpha * penalty_groups[:, None]
-    marg = jnp.where(ok_mask[None, :], abs_grad_all - thr, -jnp.inf)
+    marg = (abs_grad_all - thr) / jnp.maximum(thr, 1e-30)
+    marg = jnp.where(ok_mask[None, :], marg, -jnp.inf)
     marg = jnp.max(marg, axis=1)
     return jnp.where(screen_mask, -jnp.inf, marg)
 
 
 def _union_speculative_violators(s, penalty_groups_dev, screen_mask_dev,
-                                 abs_grad_all, lm_dev, ok_mask_np):
+                                 abs_grad_all, lm_dev, ok_mask_np,
+                                 first_fail=None):
     """Grow the screen set with every group that violates KKT at ANY
     converged lambda of the failed chunk — not just the first failure.
 
@@ -198,6 +205,9 @@ def _union_speculative_violators(s, penalty_groups_dev, screen_mask_dev,
     """
     if not configs.stream_speculative_union:
         return
+    room = s.max_screen_size - len(s.screen_set)
+    if room <= 0:
+        return
     marg = _spec_viol_margin(
         abs_grad_all, lm_dev, jnp.asarray(s.alpha, s.dtype),
         penalty_groups_dev, screen_mask_dev, jnp.asarray(ok_mask_np),
@@ -208,11 +218,27 @@ def _union_speculative_violators(s, penalty_groups_dev, screen_mask_dev,
         return
     hash_ = s.screen_hash
     idx = np.asarray([int(i) for i in idx if int(i) not in hash_], int)
-    room = s.max_screen_size - len(s.screen_set)
     if len(idx) > room:
-        # over max_screen_size: keep the worst violators and let the
-        # driver's screen() raise MaxScreenSetError if truly exhausted
-        idx = idx[np.argsort(-marg_h[idx], kind="stable")][: max(room, 0)]
+        # Over max_screen_size: the violators at the FIRST failed lambda
+        # are what the retry's screen() must add anyway — evicting them
+        # for larger-margin small-lambda speculative ones can fill the
+        # set and turn a recoverable retry into MaxScreenSetError
+        # (ADVICE r3 #1).  Retain them first, then spend the remaining
+        # room on speculative violators by relative margin.
+        order = np.argsort(-marg_h[idx], kind="stable")
+        if first_fail is not None:
+            ff = int(first_fail)
+            thr_ff = float(lm_dev[ff]) * float(s.alpha) * \
+                np.asarray(s.penalty, float)
+            ag_ff = np.asarray(jax.device_get(abs_grad_all[:, ff]))
+            mand = np.asarray(
+                [int(i) for i in idx if ag_ff[i] > thr_ff[i]], int)
+            spec = idx[order]
+            spec = spec[~np.isin(spec, mand)]
+            mand = mand[np.argsort(-marg_h[mand], kind="stable")]
+            idx = np.concatenate([mand, spec])[:room]
+        else:
+            idx = idx[order][:room]
     s.extend_screen_set(idx)
 
 
@@ -378,6 +404,7 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
             _union_speculative_violators(
                 s, self._penalty_groups_dev, self._screen_mask(),
                 abs_grad_all, lm_dev, processed & dones,
+                first_fail=None if pin_failed else int(fails[0]),
             )
         return n_acc, early_stopped, kkt_clean
 
@@ -647,9 +674,11 @@ class StreamedGlmDriver(GlmNaiveDriver):
                 raise MaxCDsError(int(fails[0]))
             raise SolverError("Maximum IRLS iterations reached.")
         if not kkt_clean:
+            # fit failures raised above, so fails[0] is a KKT failure
             _union_speculative_violators(
                 s, self._penalty_groups_dev, self._screen_mask(),
                 abs_grad_all, lm_dev, processed & fitoks,
+                first_fail=int(fails[0]),
             )
         return n_acc, early_stopped, kkt_clean
 
@@ -993,8 +1022,10 @@ class StreamedConstrainedGaussianDriver(ConstrainedGaussianDriver):
         if pin_failed:
             raise MaxCDsError(int(fails[0]))
         if len(fails):
+            # pin failures raised above, so fails[0] is a KKT failure
             _union_speculative_violators(
                 s, self._penalty_groups_dev, self._screen_mask_dev(),
                 abs_grad_all, lm_dev, processed & dones,
+                first_fail=int(fails[0]),
             )
         return n_acc, early_stopped

@@ -19,15 +19,83 @@ the timed path fit) and a **roofline account** of the hot kernels:
   GB/s and EFFECTIVE f32 TB/s (16x packing), which exceeds the HBM bound
   of any unpacked design.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"iters_per_s", "cd_sweeps_per_s", "kernels": {...}}.
+Budget-proofing (round 4): the script emits a CUMULATIVE JSON line after
+EVERY completed block (`_emit`), so a driver kill at any point still
+leaves the freshest parseable line on stdout; the LAST line is the most
+complete.  Total wall budget comes from ``ADELIE_TPU_BENCH_BUDGET_S``
+(default 2100 s); each block declares an estimated cost and is skipped
+with an explicit reason when the remaining budget cannot cover it.  An
+upfront subprocess probe (hard timeout) checks that the accelerator
+backend actually initializes — the axon tunnel's outage mode hangs init
+itself — and falls back to CPU (with a note) instead of hanging forever
+before the first line.
+
+The final line: {"metric", "value", "unit", "vs_baseline",
+"iters_per_s", "cd_sweeps_per_s", "kernels": {...}, per-block keys}.
 ``vs_baseline`` > 1 means faster than the CPU baseline.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("ADELIE_TPU_BENCH_BUDGET_S", "2100"))
+RESULT = {}
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _emit():
+    """Print the cumulative result line (the driver keeps the last one)."""
+    RESULT["elapsed_s"] = round(time.monotonic() - T0, 1)
+    RESULT["budget_s"] = BUDGET_S
+    print(json.dumps(RESULT), flush=True)
+
+
+def _block(name, fn, est_s):
+    """Run one bench block if the remaining budget covers its estimate."""
+    rem = _remaining()
+    if rem < est_s:
+        RESULT[name] = {
+            "skipped": f"budget: {rem:.0f}s remaining < ~{est_s}s estimate"}
+    else:
+        try:
+            RESULT[name] = fn()
+        except Exception as exc:
+            RESULT[name] = {"error": str(exc)[:300]}
+    _emit()
+
+
+def _probe_backend(timeout_s=240):
+    """Subprocess probe: does the default JAX backend initialize and
+    complete a tiny roundtrip?  Returns the device kind string, or None.
+    Run BEFORE the main process imports jax — the axon tunnel's outage
+    mode hangs backend init itself, which would otherwise hang this
+    script before it prints anything."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np\n"
+        "x = jax.device_put(np.arange(16.0))\n"
+        "assert float(jax.device_get(x.sum())) == 120.0\n"
+        "print('@@DEV@@' + jax.devices()[0].device_kind, flush=True)\n"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True,
+                              text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("@@DEV@@"):
+            return line[len("@@DEV@@"):]
+    return None
 
 # v5e (TPU v5 lite) per-chip peaks; fall back to these when the device
 # kind is unrecognized (the roofline percentages are then approximate).
@@ -322,11 +390,24 @@ def _north_star_bench():
 
     budget_s = float(os.environ.get("ADELIE_TPU_NORTH_STAR_BUDGET_S", 3000))
     t_block = time.perf_counter()
-    probe = _h2d_transport_probe()
 
-    nsd.ensure()   # builds the packed memmap + response if absent (~6 min)
     nb = (nsd.N + 3) // 4
     full_gb = nsd.P * nb / 1e9
+    cached = (os.path.exists(nsd.PACKED_PATH)
+              and os.path.getsize(nsd.PACKED_PATH) == nsd.P * nb
+              and os.path.exists(nsd.Y_PATH))
+    if not cached and budget_s < 2400:
+        # the 25 GB memmap synthesis alone takes ~10-40 min on this
+        # single-core host; don't burn the whole bench budget building
+        # data we then have no time to run on
+        return {"skipped": (
+            f"north-star cache absent and budget {budget_s:.0f}s < 2400s "
+            "(synthesis ~10-40 min on 1 core); run "
+            "benchmark/north_star_data.py out of band first")}
+
+    probe = _h2d_transport_probe()
+
+    nsd.ensure()   # builds the packed memmap + response if absent
 
     # expected full-p passes: 2 sweeps (compile+sweep, clean sweep) + fit =
     # setup + ~4 chunk-KKT passes (50 lambdas fit one chunk; screen-growth
@@ -339,13 +420,15 @@ def _north_star_bench():
     est_sweep_full = full_gb / eff_gbps + 0.5 * 16
     P_run = nsd.P
     degraded = False
+    from adelie_tpu.configs import configs as _cfg
+
+    hbm_budget_prior = _cfg.snp_hbm_budget
     if est_passes * est_sweep_full > budget_s - (time.perf_counter() - t_block):
         # largest still-streaming P (> configs.snp_hbm_budget packed) that
         # fits the budget; tile-aligned
         avail = budget_s - (time.perf_counter() - t_block)
         gb_fit = avail / est_passes * eff_gbps
         P_fit = int(gb_fit * 1e9 / nb) // 65536 * 65536
-        from adelie_tpu.configs import configs as _cfg
 
         P_min = (int(_cfg.snp_hbm_budget * 1.25) // nb) \
             // 65536 * 65536 + 65536
@@ -355,12 +438,26 @@ def _north_star_bench():
             # Keep the streamed path honest by LOWERING the streaming
             # threshold for this run so the matrix still streams at a
             # transport-feasible size; the degradation + linear-in-P
-            # extrapolation are reported explicitly below.
+            # extrapolation are reported explicitly below.  The prior
+            # budget is restored in the finally below (ADVICE r3 #3).
             P_run = min(max(P_fit, 2 * 65536), nsd.P)
             _cfg.snp_hbm_budget = int(P_run * nb / 1.25)
             degraded = True
         else:
             P_run = max(min(P_fit, nsd.P), P_min)
+
+    try:
+        return _north_star_run(
+            nsd, P_run, nb, degraded, probe, est_passes, budget_s, t_block)
+    finally:
+        _cfg.snp_hbm_budget = hbm_budget_prior
+
+
+def _north_star_run(nsd, P_run, nb, degraded, probe, est_passes, budget_s,
+                    t_block):
+    import jax.numpy as jnp
+
+    import adelie_tpu as ad
 
     io = nsd.NorthStarIO()
     if P_run < nsd.P:
@@ -411,6 +508,10 @@ def _north_star_bench():
         "dev_final": round(float(devs[-1]), 3),
         "cold_s": round(cold, 1),
         "iters_per_s": round(updates / cold, 1),
+        # achieved vs estimated full passes over the packed bytes (the 2
+        # timed sweeps above + fit); feeds back into est_passes
+        "stream_passes": {"achieved": int(Xm.sweeps),
+                          "estimated": round(est_passes, 1)},
     }
     if P_run < nsd.P:
         # H2D-dominated: the streamed phases scale linearly in P
@@ -533,8 +634,11 @@ def _gwas_bench():
     assert np.isfinite(devs).all() and devs[-1] > 0.1
     updates = int(np.sum(st.benchmark.get("cd_updates", [])))
     # deployment cold start: a fresh process against the now-warm
-    # persistent cache (compiles were serialized by the fits above)
-    probe = _run_isolated("_gwas_first_fit_probe", timeout_s=1200)
+    # persistent cache (compiles were serialized by the fits above);
+    # cap adapts to the remaining bench budget
+    probe = _run_isolated(
+        "_gwas_first_fit_probe",
+        timeout_s=int(max(120, min(600, _remaining() - 120))))
     out = {
         "n": n, "p": p, "packed_gb": round(p * nb / 1e9, 2),
         "lambdas": len(st.lmdas),
@@ -556,7 +660,7 @@ def _selftest_bench():
     return {"ok": True}
 
 
-def _run_isolated(block_fn, timeout_s, fallback_inproc=False):
+def _run_isolated(block_fn, timeout_s, fallback_inproc=False, env=None):
     """Run one bench block in a fresh subprocess with a hard timeout.
 
     The block's JSON result is read from a marker line on its stdout; on
@@ -582,10 +686,14 @@ def _run_isolated(block_fn, timeout_s, fallback_inproc=False):
         f"res = {block_fn}()\n"
         "print('@@BENCH@@' + json.dumps(res), flush=True)\n"
     )
+    child_env = None
+    if env:
+        child_env = dict(os.environ)
+        child_env.update(env)
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code], cwd=here, timeout=timeout_s,
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=child_env,
         )
     except subprocess.TimeoutExpired:
         return {"error": f"{block_fn} timed out after {timeout_s}s"}
@@ -605,9 +713,9 @@ def _run_isolated(block_fn, timeout_s, fallback_inproc=False):
     return {"error": err}
 
 
-def main():
-    import jax
-
+def _headline_block():
+    """The headline metric: dense gaussian lasso path vs sklearn's Cython
+    CD, objective-dominance-checked.  Returns the TOP-LEVEL keys."""
     import adelie_tpu as ad
     from sklearn.linear_model import lasso_path
 
@@ -670,12 +778,29 @@ def main():
     # loose gate: catch real solver breakage without tripping on f32 noise
     assert worst < 1e-3, f"objective dominance violated: rel gap {worst:.2e}"
 
-    kernels = _kernel_rooflines()
+    return {
+        "metric": (
+            f"gaussian lasso full-path fit n={n} p={p} ({n_sols} lambdas), "
+            f"objective-dominance-checked vs sklearn lasso_path "
+            f"(worst rel gap {worst:.1e})"
+        ),
+        "value": round(ours, 4),
+        "unit": "s",
+        "vs_baseline": round(base_time / ours, 3),
+        "iters_per_s": round(bcd_updates / ours, 1),
+        "cd_sweeps_per_s": round(cd_sweeps / ours, 1),
+        "bcd_updates": bcd_updates,
+    }
 
-    # constrained logistic path (fused chunked IRLS + proximal-Newton
-    # constraints, VERDICT r1 #6): warm wall-clock
+
+def _constrained_block():
+    """Constrained logistic path (fused chunked IRLS + proximal-Newton
+    constraints) with the same-shape unconstrained yardstick.  Returns
+    TOP-LEVEL keys (names kept stable across rounds)."""
+    import adelie_tpu as ad
     import adelie_tpu.constraint as ct
 
+    rng = np.random.default_rng(3)
     nc, pc, qc = 1024, 60, 3
     Xc = rng.standard_normal((nc, pc)).astype(np.float32)
     yc = (Xc[:, :6] @ rng.standard_normal(6) > 0).astype(np.float32)
@@ -711,55 +836,78 @@ def main():
     uncons_fit()
     uncons_time = time.perf_counter() - t0
 
-    try:
-        gwas = _gwas_bench() if jax.default_backend() == "tpu" else None
-    except Exception as exc:
-        gwas = {"error": str(exc)[:200]}
-
-    try:
-        sparse = _sparse_bench()
-    except Exception as exc:
-        sparse = {"error": str(exc)[:200]}
-
-    try:
-        grouped_pin = _grouped_pin_bench()
-    except Exception as exc:
-        grouped_pin = {"error": str(exc)[:200]}
-
-    # the two big-data blocks run in SUBPROCESSES with hard timeouts: a
-    # hang there (tunnel degradation mid-stream) must not swallow the
-    # headline JSON line this script exists to print
-    if jax.default_backend() == "tpu":
-        eur = _run_isolated("_eur_bench", timeout_s=1800,
-                            fallback_inproc=True)
-        north = _run_isolated("_north_star_bench", timeout_s=3600,
-                              fallback_inproc=True)
-    else:
-        eur = north = None
-
-    print(json.dumps({
-        "metric": (
-            f"gaussian lasso full-path fit n={n} p={p} ({n_sols} lambdas), "
-            f"objective-dominance-checked vs sklearn lasso_path "
-            f"(worst rel gap {worst:.1e})"
-        ),
-        "value": round(ours, 4),
-        "unit": "s",
-        "vs_baseline": round(base_time / ours, 3),
-        "iters_per_s": round(bcd_updates / ours, 1),
-        "cd_sweeps_per_s": round(cd_sweeps / ours, 1),
-        "bcd_updates": bcd_updates,
-        "device": str(jax.devices()[0].device_kind),
+    return {
         "constrained_logistic_s": round(cons_time, 3),
         "unconstrained_logistic_same_shape_s": round(uncons_time, 3),
         "constraint_overhead_x": round(cons_time / max(uncons_time, 1e-9), 1),
-        "gwas_snp_path": gwas,
-        "north_star_1m_x_100k_streamed": north,
-        "eur_subset": eur,
-        "sparse": sparse,
-        "grouped_pin": grouped_pin,
-        "kernels": kernels,
-    }))
+    }
+
+
+def _merge_block(fn, est_s):
+    """Like _block but the result merges into RESULT's top level."""
+    rem = _remaining()
+    key = fn.__name__.strip("_")
+    if rem < est_s:
+        RESULT[key + "_skipped"] = (
+            f"budget: {rem:.0f}s remaining < ~{est_s}s estimate")
+    else:
+        try:
+            RESULT.update(fn())
+        except Exception as exc:
+            RESULT[key + "_error"] = str(exc)[:300]
+    _emit()
+
+
+def main():
+    dev = _probe_backend()
+    if dev is None:
+        # the accelerator backend cannot even initialize (axon tunnel
+        # outage mode): fall back to CPU so a parseable line still comes
+        # out, and record why the numbers are not TPU numbers
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        RESULT["device_note"] = (
+            "accelerator backend init failed/hung within 240s probe; "
+            "CPU fallback")
+    import jax
+
+    RESULT["metric"] = "incomplete: killed before the headline block"
+    RESULT["value"] = None
+    RESULT["unit"] = "s"
+    RESULT["device"] = str(jax.devices()[0].device_kind)
+    _emit()   # first parseable line before any heavy work
+
+    _merge_block(_headline_block, est_s=240)
+    _block("kernels", _kernel_rooflines, est_s=150)
+    _merge_block(_constrained_block, est_s=150)
+    _block("sparse", _sparse_bench, est_s=120)
+    _block("grouped_pin", _grouped_pin_bench, est_s=90)
+
+    if jax.default_backend() != "tpu":
+        for k in ("gwas_snp_path", "eur_subset",
+                  "north_star_1m_x_100k_streamed"):
+            RESULT[k] = {"skipped": "no TPU backend"}
+        _emit()
+        return
+
+    _block("gwas_snp_path", _gwas_bench, est_s=360)
+
+    # the two big-data blocks run in SUBPROCESSES with hard timeouts
+    # derived from the remaining budget: a hang there (tunnel degradation
+    # mid-stream) must not swallow the lines already emitted
+    def eur():
+        cap = int(max(120, min(900, _remaining() - 300)))
+        return _run_isolated("_eur_bench", timeout_s=cap,
+                             fallback_inproc=True)
+
+    _block("eur_subset", eur, est_s=300)
+
+    def north():
+        cap = int(max(120, _remaining() - 45))
+        env = {"ADELIE_TPU_NORTH_STAR_BUDGET_S": str(max(60, cap - 30))}
+        return _run_isolated("_north_star_bench", timeout_s=cap,
+                             fallback_inproc=True, env=env)
+
+    _block("north_star_1m_x_100k_streamed", north, est_s=300)
 
 
 if __name__ == "__main__":
