@@ -442,6 +442,10 @@ class ConstrainedGaussianDriver:
     def __init__(self, state, constraints):
         self.s = state
         self.pack = ConstraintPack(constraints)
+        # result states carry the per-group constraint list (reference
+        # StateBase: constraints is a static member) — diagnostics and
+        # check_state's dual audits read it back
+        state.constraints = list(constraints)
         if not getattr(state.X, "is_streaming", False):
             self._X_data = state.X.mul_spec()[1]
         self._prev_dev = 0.0
@@ -793,6 +797,7 @@ class ConstrainedGlmDriver:
 
         self.s = state
         self.pack = ConstraintPack(constraints)
+        state.constraints = list(constraints)
         # ``base`` supplies update_loss_null/update_invariance/
         # update_solutions; the multi-response path passes its
         # per-class-intercept null-model driver here.

@@ -406,6 +406,10 @@ class StreamedGaussianDriver(GaussianNaiveDriver):
                 abs_grad_all, lm_dev, processed & dones,
                 first_fail=None if pin_failed else int(fails[0]),
             )
+        if configs.debug_check_state:
+            from ..state import check_state
+
+            check_state(s)
         return n_acc, early_stopped, kkt_clean
 
 
@@ -680,6 +684,10 @@ class StreamedGlmDriver(GlmNaiveDriver):
                 abs_grad_all, lm_dev, processed & fitoks,
                 first_fail=int(fails[0]),
             )
+        if configs.debug_check_state:
+            from ..state import check_state
+
+            check_state(s)
         return n_acc, early_stopped, kkt_clean
 
 
@@ -1028,4 +1036,8 @@ class StreamedConstrainedGaussianDriver(ConstrainedGaussianDriver):
                 abs_grad_all, lm_dev, processed & dones,
                 first_fail=int(fails[0]),
             )
+        if configs.debug_check_state:
+            from ..state import check_state
+
+            check_state(s)
         return n_acc, early_stopped

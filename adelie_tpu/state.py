@@ -50,13 +50,31 @@ def check_state(state, method: str = "assert"):
     * outputs: betas/lmdas/intercepts/devs lengths agree; lmdas strictly
       decreasing; devs in [-eps, 1+eps] and nondecreasing (tolerance for
       degenerate paths); off-screen beta columns are exactly zero;
+    * screen/active consistency: any screened group carrying a nonzero
+      coefficient must be flagged active; per-solution bookkeeping
+      (screen_sizes / active_sizes / n_valid_solutions) sized to the
+      solution count, active <= screen, screen_sizes nondecreasing
+      (BASIL only grows the screen set within a path);
+    * duals (constrained paths): one record per solution; every dual
+      belongs to a constrained group and matches its dual dimension;
+    * benchmark fields: finite nonnegative timings/counters, and
+      ``cd_iters`` one entry per solution when the driver records it;
+    * residual state: resid/rsq/resid_sum finite when present;
     * configuration sanity: tol/newton_tol positive, max sizes >= current.
+
+    Set ``configs.debug_check_state = True`` to run this audit inside the
+    streamed drivers after every certified chunk (reference-style
+    always-on ``check()``; costs host time at each chunk boundary).
     """
     failures = []
 
     def ensure(cond, msg):
         if not cond:
             failures.append(msg)
+
+    if not hasattr(state, "groups"):
+        # aux solver states (BVLS / pinball / CSS) have their own shape
+        return _check_aux_state(state, method)
 
     # --- problem structure ---
     groups = np.asarray(state.groups)
@@ -104,7 +122,7 @@ def check_state(state, method: str = "assert"):
            "screen_is_active size inconsistent")
 
     # --- invariance quantities ---
-    if state.abs_grad is not None:
+    if getattr(state, "abs_grad", None) is not None:
         ag = np.asarray(state.abs_grad)
         ensure(len(ag) == G, "abs_grad must be (G,)")
         ensure(np.all(np.isfinite(ag)), "abs_grad must be finite")
@@ -129,15 +147,178 @@ def check_state(state, method: str = "assert"):
     devs = np.asarray(getattr(state, "devs", np.zeros(0)), float)
     if devs.size:
         ensure(len(devs) == n_sols, "devs/betas length mismatch")
-        ensure(np.all(devs <= 1.0 + 1e-6), "devs must be <= 1")
+        # cov-method states (identified by the A member) normalize devs
+        # by v-scale proxies, not a true y-variance — the ratio can
+        # legitimately exceed 1 (reference rdev semantics)
+        if not hasattr(state, "A"):
+            ensure(np.all(devs <= 1.0 + 1e-6), "devs must be <= 1")
         ensure(np.all(np.diff(devs) >= -1e-6), "devs must be nondecreasing")
-    if not isinstance(state.betas, list) and n_sols and len(ss) < G:
-        # off-screen columns must be exactly zero
+    if (not isinstance(state.betas, list) and n_sols and len(ss) < G
+            and state.betas.shape[1] == p):
+        # off-screen columns must be exactly zero.  (Multi-response
+        # states exclude the per-class intercept columns from betas, so
+        # betas.shape[1] < p there; the kron-eye reformulation's own
+        # tests cover that layout.)
         in_screen = np.zeros(p, bool)
         for g in ss:
             in_screen[groups[g]:groups[g] + gsizes[g]] = True
         off = state.betas[:, ~in_screen]
         ensure(off.nnz == 0, "nonzero coefficients outside the screen set")
+
+    # --- screen/active consistency ---
+    if len(ss) and len(sbeta) == int(gs.sum()):
+        act = np.asarray(state.screen_is_active, bool)
+        if len(act) == len(ss):
+            for k in range(len(ss)):
+                seg = sbeta[begins[k]:begins[k] + gs[k]]
+                if np.any(seg != 0) and not bool(act[k]):
+                    ensure(False, (
+                        f"screened group {int(ss[k])} carries nonzero "
+                        "coefficients but is not flagged active"))
+                    break
+
+    # --- per-solution bookkeeping ---
+    for name in ("screen_sizes", "active_sizes", "n_valid_solutions"):
+        vals = getattr(state, name, None)
+        if vals is not None and len(vals):
+            ensure(len(vals) == n_sols, f"{name}/betas length mismatch")
+    ssz_raw = getattr(state, "screen_sizes", None)
+    ssz = np.asarray(ssz_raw if ssz_raw is not None else [], int)
+    if ssz.size:
+        ensure(np.all((ssz >= 0) & (ssz <= G)), "screen_sizes out of range")
+        ensure(np.all(np.diff(ssz) >= 0),
+               "screen_sizes must be nondecreasing within a path")
+    asz_raw = getattr(state, "active_sizes", None)
+    asz = np.asarray(asz_raw if asz_raw is not None else [], int)
+    if asz.size and asz.size == ssz.size:
+        ensure(np.all(asz <= ssz), "active_sizes must be <= screen_sizes")
+
+    # --- duals (constrained paths) ---
+    duals = getattr(state, "duals", None)
+    cons = getattr(state, "constraints", None)
+    if duals is not None:
+        ensure(len(duals) == n_sols, "duals/betas length mismatch")
+        for dd in duals:
+            for g, mu in dd.items():
+                g = int(g)
+                has_c = (cons is not None and 0 <= g < len(cons)
+                         and cons[g] is not None)
+                ensure(has_c, f"dual recorded for unconstrained group {g}")
+                mu = np.asarray(mu)
+                ensure(np.all(np.isfinite(mu)),
+                       f"dual for group {g} must be finite")
+                if has_c:
+                    m = cons[g].duals
+                    m = int(m() if callable(m) else m)
+                    ensure(mu.size == m, (
+                        f"dual for group {g} has size {mu.size}, "
+                        f"constraint expects {m}"))
+
+    # --- benchmark fields ---
+    bm = getattr(state, "benchmark", None)
+    if isinstance(bm, dict):
+        for kf, vals in bm.items():
+            flat = []
+            for v in vals:
+                flat.extend(np.ravel(v).tolist())
+            arr = np.asarray(flat, float)
+            ensure(np.all(np.isfinite(arr)) and np.all(arr >= 0),
+                   f"benchmark[{kf!r}] entries must be finite and >= 0")
+        ci = bm.get("cd_iters")
+        if ci:
+            ensure(len(ci) == n_sols,
+                   "benchmark['cd_iters'] must have one entry per solution")
+
+    # --- residual state ---
+    for name in ("rsq", "resid_sum"):
+        v = getattr(state, name, None)
+        if v is not None and np.ndim(v) == 0:
+            ensure(np.isfinite(float(v)), f"{name} must be finite")
+    lmda = getattr(state, "lmda", None)
+    if lmda is not None and np.ndim(lmda) == 0:
+        # +inf is the legal pre-fit sentinel (reference large_lmda)
+        ensure(not np.isnan(float(lmda)), "lmda must not be NaN")
+    resid = getattr(state, "resid", None)
+    if resid is not None:
+        ensure(bool(np.all(np.isfinite(np.asarray(resid)))),
+               "resid must be finite")
+
+    if failures:
+        msg = "state check failed: " + "; ".join(failures)
+        if method == "assert":
+            raise AssertionError(msg)
+        logger.warning(msg)
+    return failures
+
+
+def _check_aux_state(state, method: str = "assert"):
+    """Invariant audit for the aux solver states (StateBVLS,
+    StatePinball, StateCSSCov) whose fields differ from the path states:
+    finite iterates, screen/active bookkeeping consistency, bound
+    feasibility (BVLS), and subset validity (CSS)."""
+    failures = []
+
+    def ensure(cond, msg):
+        if not cond:
+            failures.append(msg)
+
+    for name in ("beta", "resid", "grad"):
+        v = getattr(state, name, None)
+        if v is not None:
+            ensure(bool(np.all(np.isfinite(np.asarray(v, float)))),
+                   f"{name} must be finite")
+    loss = getattr(state, "loss", None)
+    if loss is not None and not isinstance(loss, str):
+        ensure(np.isfinite(float(loss)), "loss must be finite")
+
+    is_screen = getattr(state, "is_screen", None)
+    ss = getattr(state, "screen_set", None)
+    if is_screen is not None and ss is not None:
+        is_screen = np.asarray(is_screen, bool)
+        p = len(is_screen)
+        ss = np.asarray(ss, int)
+        ensure(len(np.unique(ss)) == len(ss), "screen_set must be unique")
+        ensure(bool(np.all((ss >= 0) & (ss < p))), "screen_set out of range")
+        ensure(bool(np.all(is_screen[ss])) and int(is_screen.sum()) == len(ss),
+               "is_screen inconsistent with screen_set")
+        act = getattr(state, "active_set", None)
+        is_act = getattr(state, "is_active", None)
+        if act is not None and is_act is not None:
+            act = np.asarray(act, int)
+            is_act = np.asarray(is_act, bool)
+            ensure(bool(np.all((act >= 0) & (act < p))),
+                   "active_set out of range")
+            ensure(bool(np.all(is_screen[act])),
+                   "active_set must be a subset of the screen set")
+            ensure(bool(np.all(is_act[act]))
+                   and int(is_act.sum()) == len(act),
+                   "is_active inconsistent with active_set")
+
+    lower = getattr(state, "lower", None)
+    upper = getattr(state, "upper", None)
+    beta = getattr(state, "beta", None)
+    if lower is not None and upper is not None:
+        lower, upper = np.asarray(lower, float), np.asarray(upper, float)
+        ensure(bool(np.all(lower <= upper)), "lower must be <= upper")
+        if beta is not None:
+            b = np.asarray(beta, float)
+            ensure(bool(np.all((b >= lower - 1e-9) & (b <= upper + 1e-9))),
+                   "beta violates the [lower, upper] bounds")
+
+    subset = getattr(state, "subset", None)
+    if subset is not None:
+        S = np.asarray(state.S)
+        ensure(S.ndim == 2 and S.shape[0] == S.shape[1],
+               "S must be square")
+        subset = np.asarray(subset, int)
+        ensure(len(np.unique(subset)) == len(subset),
+               "subset must be unique")
+        ensure(bool(np.all((subset >= 0) & (subset < S.shape[0]))),
+               "subset out of range")
+        n_sub = getattr(state, "subset_size", None)
+        if n_sub:
+            ensure(len(subset) == int(n_sub),
+                   "subset length must equal subset_size")
 
     if failures:
         msg = "state check failed: " + "; ".join(failures)
@@ -555,6 +736,10 @@ def gaussian_pin_cov(*, A, v, groups=None, alpha: float = 1.0, penalty=None,
             self.betas = sp.vstack(self.betas).tocsr()
             self.lmdas = np.asarray(self.lmdas)
             self.intercepts = np.asarray(self.intercepts)
+            # final iterate, reference StateGaussianPinCov members
+            self.screen_beta = np.asarray(beta)
+            self.screen_is_active = np.asarray(active)
+            self.rsq = float(np.asarray(rsq))
             return self
 
     return _S()

@@ -267,3 +267,137 @@ def test_abs_grad_kernel_padded_slot_does_not_race_column0():
     gadj = grad - l2 * penalty_cols * beta_full
     want = np.sqrt(np.add.reduceat(gadj * gadj, [0, 2, 4]))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_check_state_catches_corruption_in_every_factory():
+    """VERDICT r3 #9 'done' bar: a deliberately corrupted state from each
+    of the 10 public state factories is caught by check_state."""
+    import copy
+
+    import pytest as _pytest
+
+    rng = np.random.default_rng(9)
+    n, p = 120, 12
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - 0.5 * X[:, 1] + 0.1 * rng.standard_normal(n)
+    Y = np.stack([y, -0.5 * y], axis=1)
+    yb = (y > 0).astype(float)
+    kw = dict(lmda_path_size=4, min_ratio=0.3)
+
+    def corrupt(st, field, val):
+        bad = copy.copy(st)
+        setattr(bad, field, val)
+        return bad
+
+    cases = []
+
+    st = ad.state.gaussian_naive(X=X, y=y, **kw).solve()
+    cases.append((corrupt(st, "alpha", 2.0), "alpha"))
+
+    st = ad.state.glm_naive(X=X, glm=ad.glm.binomial(yb), **kw).solve()
+    cases.append((corrupt(st, "screen_begins",
+                          np.asarray(st.screen_begins) + 1),
+                  "screen_begins"))
+
+    A = X.T @ (X / n)
+    v = X.T @ (y / n)
+    st = ad.state.gaussian_cov(A=A, v=v, **kw).solve()
+    cases.append((corrupt(st, "penalty", -np.ones(len(st.penalty))),
+                  "penalty"))
+
+    st = ad.state.multigaussian_naive(X=X, y=Y, **kw).solve()
+    n_sols = len(st.lmdas)
+    cases.append((corrupt(st, "devs",
+                          np.linspace(0.9, 0.1, n_sols)),
+                  "nondecreasing"))
+
+    st = ad.state.multiglm_naive(
+        X=X, glm=ad.glm.multinomial(np.stack([yb, 1 - yb], axis=1)),
+        **kw).solve()
+    cases.append((corrupt(st, "lmdas", np.sort(np.asarray(st.lmdas))),
+                  "decreasing"))
+
+    lo, hi = np.full(p, -0.5), np.full(p, 0.5)
+    st = ad.state.bvls(X=X, y=y, lower=lo, upper=hi).solve()
+    cases.append((corrupt(st, "beta", np.full(p, 2.0)), "bounds"))
+
+    m, d = 6, 5
+    Am = rng.standard_normal((m, d))
+    B = rng.standard_normal((d, 2 * d))
+    S = B @ B.T / (2 * d)
+    st = ad.state.pinball(A=Am, S=S, v=rng.standard_normal(d),
+                          penalty_neg=np.full(m, 0.3),
+                          penalty_pos=np.full(m, 0.3)).solve()
+    cases.append((corrupt(st, "grad", np.full_like(st.grad, np.nan)),
+                  "finite"))
+
+    st = ad.state.css_cov(S=S, subset_size=2).solve()
+    cases.append((corrupt(st, "subset",
+                          np.zeros(len(st.subset), int)),
+                  "unique"))
+
+    full = ad.grpnet(X, ad.glm.gaussian(y), **kw)
+    ps = ad.state.gaussian_pin_naive(
+        X=X, y=y, lmda_path=np.asarray(full.lmdas))
+    st = ps.solve()
+    cases.append((corrupt(st, "screen_beta",
+                          np.full_like(st.screen_beta, np.nan)),
+                  "finite"))
+
+    ps = ad.state.gaussian_pin_cov(
+        A=A, v=v, lmda_path=np.asarray(full.lmdas))
+    st = ps.solve()
+    # nonzero coefficients with the active flags wiped: the
+    # screen/active consistency audit must fire
+    assert np.any(np.asarray(st.screen_beta) != 0)
+    cases.append((corrupt(st, "screen_is_active",
+                          np.zeros(len(st.screen_is_active), bool)),
+                  "active"))
+
+    assert len(cases) == 10
+    for bad, match in cases:
+        with _pytest.raises(AssertionError, match=match):
+            ad.state.check_state(bad)
+
+
+def test_check_state_new_audits_pass_and_fire():
+    """The round-4 audits (duals, benchmark shapes, screen_sizes
+    monotonicity) accept a real constrained fit and catch corruption."""
+    import copy
+
+    import pytest as _pytest
+
+    from adelie_tpu import constraint as ct
+
+    rng = np.random.default_rng(10)
+    n, p, q = 150, 12, 3
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] - X[:, 1] + 0.1 * rng.standard_normal(n)
+    groups = np.arange(0, p, q)
+    cons = [ct.box(np.full(q, -0.2), np.full(q, 0.2)) for _ in groups]
+    st = ad.grpnet(X, ad.glm.gaussian(y), groups=groups, constraints=cons,
+                   lmda_path_size=5, min_ratio=0.1, progress_bar=False)
+    assert st.error == ""
+    assert ad.state.check_state(st) == []
+
+    bad = copy.copy(st)
+    bad.duals = st.duals[:-1]
+    with _pytest.raises(AssertionError, match="duals"):
+        ad.state.check_state(bad)
+
+    bad = copy.copy(st)
+    bad.duals = [{**d, 0: np.zeros(7)} for d in st.duals]
+    with _pytest.raises(AssertionError, match="dual"):
+        ad.state.check_state(bad)
+
+    bad = copy.copy(st)
+    bad.screen_sizes = list(st.screen_sizes)[::-1] \
+        if len(set(st.screen_sizes)) > 1 else [3] + [1] * (len(st.lmdas) - 1)
+    with _pytest.raises(AssertionError, match="screen_sizes"):
+        ad.state.check_state(bad)
+
+    bad = copy.copy(st)
+    bad.benchmark = dict(st.benchmark)
+    bad.benchmark["kkt"] = [-1.0]
+    with _pytest.raises(AssertionError, match="benchmark"):
+        ad.state.check_state(bad)
