@@ -179,10 +179,12 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
            layout: str = "auto"):
     """Sparse matrix (reference matrix.py:1301).
 
-    ``layout`` (naive only): "auto" | "padded" | "bcoo" — see
+    ``layout`` (naive only): "auto" | "dense" | "padded" | "bcoo" — see
     matrix/_sparse.py.  Padded CSC/CSR planes turn both products into one
-    vectorized gather + lane reduction (no scatters); auto falls back to
-    BCOO when nnz skew makes padding blow up storage.
+    vectorized gather + lane reduction (no scatters); auto DENSIFIES
+    above the measured ~0.2% density crossover when the dense array fits
+    ~2 GB (dense MXU matvecs stream ~750x faster than TPU gathers), and
+    falls back to BCOO when nnz skew makes padding blow up storage.
     """
     from ._sparse import MatrixCovSparse, MatrixNaiveSparse
 

@@ -34,6 +34,17 @@ _PRECISION = jax.lax.Precision.HIGHEST
 # (padded elements / nnz); above it the skew makes BCOO cheaper.
 _PAD_BLOWUP_MAX = 8.0
 
+# Above this density (and below the HBM cap) "auto" DENSIFIES: measured
+# on v5e (BENCH_r04 sparse block, n=50k x p=8k at 1% density) the dense
+# einsum streams at ~750 GB/s while the padded-gather path achieves
+# ~1 GB/s useful (row-granularity gathers are VPU-serialized on TPU), so
+# the speed crossover sits near density 4B/(750 GB/s) = 8B*d/(1 GB/s)
+# -> d* ~ 0.07%.  The 0.2% threshold keeps a ~3x safety margin for the
+# gather rate varying with n; below it the padded planes win on both
+# footprint and time.
+_DENSE_DENSITY_MIN = 2e-3
+_DENSE_BYTES_MAX = 2 << 30
+
 
 def _padded_planes(mat_csc, dtype):
     """Build (vals, idx) padded planes for a scipy CSC/CSR matrix along its
@@ -56,17 +67,21 @@ def _padded_planes(mat_csc, dtype):
 class MatrixNaiveSparse(MatrixNaiveBase):
     """Sparse (n, p) feature matrix.
 
-    ``layout``: ``"auto"`` (default) picks padded planes unless the nnz
-    skew blows storage past ~8x nnz; ``"padded"`` / ``"bcoo"`` force.
+    ``layout``: ``"auto"`` (default) DENSIFIES above ~0.2% density when
+    the dense array fits ~2 GB (measured crossover, see
+    ``_DENSE_DENSITY_MIN``), else picks padded planes unless the nnz
+    skew blows storage past ~8x nnz; ``"dense"`` / ``"padded"`` /
+    ``"bcoo"`` force.
     """
 
     def __init__(self, mat, *, dtype=None, layout: str = "auto"):
         mat = sp.csc_matrix(mat)
         if dtype is None:
             dtype = mat.dtype if mat.dtype in (np.float32, np.float64) else np.float64
-        if layout not in ("auto", "padded", "bcoo"):
+        if layout not in ("auto", "padded", "bcoo", "dense"):
             raise ValueError(
-                f"layout must be one of ['auto', 'bcoo', 'padded'], got {layout!r}"
+                f"layout must be one of ['auto', 'bcoo', 'dense', 'padded'],"
+                f" got {layout!r}"
             )
         self.dtype = np.dtype(dtype)
         self._rows, self._cols = mat.shape
@@ -78,10 +93,19 @@ class MatrixNaiveSparse(MatrixNaiveBase):
         Lr = int(np.diff(csr.indptr).max()) if self._rows else 0
         blowup = max(self._cols * Lc, self._rows * Lr) / nnz
         if layout == "auto":
-            layout = "padded" if blowup <= _PAD_BLOWUP_MAX else "bcoo"
+            density = nnz / max(self._rows * self._cols, 1)
+            dense_bytes = self._rows * self._cols * self.dtype.itemsize
+            if density >= _DENSE_DENSITY_MIN and \
+                    dense_bytes <= _DENSE_BYTES_MAX:
+                layout = "dense"
+            else:
+                layout = "padded" if blowup <= _PAD_BLOWUP_MAX else "bcoo"
         self.layout = layout
 
-        if layout == "padded":
+        if layout == "dense":
+            self._dense = jnp.asarray(
+                np.asarray(self._csc.todense()), self.dtype)
+        elif layout == "padded":
             pc = _padded_planes(self._csc, self.dtype)
             pr = _padded_planes(csr, self.dtype)
             zc = (np.zeros((self._cols, 1), self.dtype),
@@ -114,6 +138,12 @@ class MatrixNaiveSparse(MatrixNaiveBase):
         return f(data, jnp.asarray(v), jnp.asarray(w))
 
     def mul_spec(self):
+        if self.layout == "dense":
+            def f(data, v, w):
+                return jnp.einsum("n,np->p", v * w, data["mat"],
+                                  precision=_PRECISION)
+
+            return f, {"mat": self._dense}
         if self.layout == "padded":
             def f(data, v, w):
                 u = v * w
@@ -134,6 +164,8 @@ class MatrixNaiveSparse(MatrixNaiveBase):
 
     def tmul(self, beta):
         beta = jnp.asarray(beta, self.dtype)
+        if self.layout == "dense":
+            return jnp.matmul(self._dense, beta, precision=_PRECISION)
         if self.layout == "padded":
             g = jnp.take(beta, self._ridx, axis=0)  # (n, Lr)
             return jnp.sum(self._rvals * g, axis=1)
@@ -141,6 +173,9 @@ class MatrixNaiveSparse(MatrixNaiveBase):
 
     def sq_mul(self, w):
         w = jnp.asarray(w)
+        if self.layout == "dense":
+            return jnp.einsum("n,np->p", w, self._dense * self._dense,
+                              precision=_PRECISION)
         if self.layout == "padded":
             g = jnp.take(w, self._cidx, axis=0)
             return jnp.sum(self._cvals**2 * g, axis=1)

@@ -331,7 +331,7 @@ def test_gaussian_cov_rejects_naive_matrix():
         ad.gaussian_cov(mx.block_diag([S]), np.ones(4))
 
 
-@pytest.mark.parametrize("layout", ["padded", "bcoo"])
+@pytest.mark.parametrize("layout", ["dense", "padded", "bcoo"])
 def test_sparse_layouts_match_dense(layout):
     rng = np.random.default_rng(21)
     n, p = 35, 12
@@ -345,17 +345,30 @@ def test_sparse_layouts_match_dense(layout):
 
 def test_sparse_auto_layout_selection():
     rng = np.random.default_rng(22)
+    # dense-ish (>= 0.2% density, small footprint) -> densify (the
+    # measured v5e crossover, matrix/_sparse.py _DENSE_DENSITY_MIN)
     n, p = 60, 10
-    # uniform sparsity -> padded
-    Zu = rng.standard_normal((n, p)) * (rng.uniform(size=(n, p)) < 0.2)
-    assert mx.sparse(sp.csc_matrix(Zu)).layout == "padded"
-    # extreme skew: one dense column among near-empty ones -> bcoo
+    Zd = rng.standard_normal((n, p)) * (rng.uniform(size=(n, p)) < 0.2)
+    assert mx.sparse(sp.csc_matrix(Zd)).layout == "dense"
+    # uniform sparsity BELOW the densify crossover -> padded (banded with
+    # exactly 2 nnz per row / 4 per column: pad blowup exactly 1, density
+    # 1e-3 < _DENSE_DENSITY_MIN; a uniform random draw at this density
+    # has Lmax skew that can legitimately tip auto to bcoo)
+    n, p = 4000, 2000
+    rows = np.repeat(np.arange(n), 2)
+    cols = np.concatenate([np.arange(n) % p, (np.arange(n) + 7) % p])
+    Zu = sp.csc_matrix(
+        (rng.standard_normal(2 * n), (rows, cols)), shape=(n, p))
+    assert mx.sparse(Zu).layout == "padded"
+    # extreme skew at low density: one dense column among near-empty
+    # ones -> bcoo
+    n, p = 6000, 1000
     Zs = np.zeros((n, p))
     Zs[:, 0] = rng.standard_normal(n)
     Zs[0, 1] = 1.0
     assert mx.sparse(sp.csc_matrix(Zs)).layout == "bcoo"
     with pytest.raises(ValueError, match="layout"):
-        mx.sparse(sp.csc_matrix(Zu), layout="padddded")
+        mx.sparse(sp.csc_matrix(Zd), layout="padddded")
 
 
 @pytest.mark.parametrize("gated", [True, False])
