@@ -237,7 +237,7 @@ def _sparse_bench():
     w = jnp.full((n,), 1.0 / n, jnp.float32)
     out = {"n": n, "p": p, "density": density, "nnz": int(M.nnz)}
 
-    for layout in ("padded", "bcoo"):
+    for layout in ("padded", "bcoo", "dense"):
         try:
             Xm = ad.matrix.sparse(M, layout=layout)
             f, data = Xm.mul_spec()
@@ -251,12 +251,9 @@ def _sparse_bench():
         except Exception as exc:
             out[layout] = {"error": str(exc)[:120]}
 
-    # dense yardstick on the same logical shape
-    Xd = jnp.asarray(np.asarray(M.todense()))
-    grad = jax.jit(lambda X, v, w: jnp.einsum(
-        "n,np->p", v * w, X, precision=jax.lax.Precision.HIGHEST))
-    t = _timeit(lambda: grad(Xd, v, w), reps=50)
-    out["dense_same_shape_ms"] = round(t * 1e3, 3)
+    # what "auto" picks at this shape (density 1% -> densify per the
+    # measured crossover, matrix/_sparse.py:_DENSE_DENSITY_MIN)
+    out["auto_pick"] = ad.matrix.sparse(M).layout
     return out
 
 
@@ -267,7 +264,6 @@ def _grouped_pin_bench():
     import jax.numpy as jnp
 
     from adelie_tpu.solver import pin as pin_mod
-    from adelie_tpu.solver import pin_pallas as pp
     from adelie_tpu.solver.pin import screen_gram
 
     if jax.default_backend() != "tpu":
@@ -310,20 +306,28 @@ def _grouped_pin_bench():
     def call():
         return pin_mod.pin_cov_solve(**args)
 
+    from adelie_tpu.configs import set_configs
+
     out = {"n": n, "groups": G, "q": q}
-    t = _timeit(lambda: call(), reps=20)
-    r = call()
-    out["pallas_full_solve_ms"] = round(t * 1e3, 3)
-    out["sweeps"] = int(np.asarray(jax.device_get(r[4])))
-    # force the XLA fori_loop path by shrinking the dispatch cap
-    cap_s, cap_q = pp.MAX_PALLAS_S, pp.MAX_PALLAS_Q
+    # the dispatch is a trace-time Python branch inside a module-level
+    # jit: toggling it without clearing the jit cache would re-time the
+    # SAME compiled executable (an earlier version of this block did
+    # exactly that; its "comparison" was reps noise)
     try:
-        pp.MAX_PALLAS_S = 0
-        t2 = _timeit(lambda: call(), reps=5)
+        set_configs("pin_grouped_pallas", True)
+        pin_mod.pin_cov_solve.clear_cache()
+        t = _timeit(lambda: call(), reps=20)
+        r = call()
+        out["pallas_full_solve_ms"] = round(t * 1e3, 3)
+        out["sweeps"] = int(np.asarray(jax.device_get(r[4])))
+        set_configs("pin_grouped_pallas", False)
+        pin_mod.pin_cov_solve.clear_cache()
+        t2 = _timeit(lambda: call(), reps=20)
         out["xla_loop_full_solve_ms"] = round(t2 * 1e3, 3)
-        out["pallas_speedup"] = round(t2 / t, 1)
+        out["pallas_speedup"] = round(t2 / t, 2)
     finally:
-        pp.MAX_PALLAS_S, pp.MAX_PALLAS_Q = cap_s, cap_q
+        set_configs("pin_grouped_pallas", None)
+        pin_mod.pin_cov_solve.clear_cache()
     return out
 
 
@@ -600,15 +604,29 @@ def _gwas_first_fit_probe():
     """Fresh-process first-fit wall time on the GWAS workload with a WARM
     persistent compile cache (the deployment cold-start story: prewarm or
     a prior process compiled the same signature).  Run via _run_isolated
-    AFTER _gwas_bench has populated the cache."""
+    AFTER _gwas_bench has populated the cache.  Reports the breakdown —
+    backend init, host data synthesis + 2.5 GB H2D upload, fit — so a
+    large number is attributable (transport vs compile-cache misses)."""
     import adelie_tpu as ad
 
+    t0 = time.perf_counter()
+    import jax
+
+    jax.device_get(jax.device_put(np.zeros(2, np.float32)))
+    init_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     Xm, glm, kw, *_ = _gwas_setup()
+    setup_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     st = ad.grpnet(Xm, glm, **kw)
     first = time.perf_counter() - t0
     assert st.error == "", st.error
-    return {"first_fit_s": round(first, 2)}
+    return {"first_fit_s": round(first, 2),
+            "backend_init_s": round(init_s, 2),
+            "setup_synth_upload_s": round(setup_s, 2),
+            "total_s": round(init_s + setup_s + first, 2)}
 
 
 def _gwas_bench():
@@ -650,6 +668,7 @@ def _gwas_bench():
     }
     if "first_fit_s" in probe:
         out["fresh_process_first_fit_s"] = probe["first_fit_s"]
+        out["fresh_process_breakdown"] = probe
     else:
         out["fresh_process_first_fit_error"] = probe.get("error", str(probe))
     return out
