@@ -191,11 +191,32 @@ def scenario_map(fn, scenarios, *, n_shards=None, shard_index=None,
         stack(lambda r, j=j: jax.tree_util.tree_leaves(r)[j])
         for j in range(len(leaves))
     ]
-    gathered = multihost_utils.process_allgather(tuple(stacked))
-    # gathered[j] has shape (n_proc, max_stripe, ...)
+    # ONE DCN collective for the whole map call (a tuple arg would do one
+    # all-gather per pytree LEAF): every stacked leaf's bytes concatenate
+    # into a single uint8 buffer — identical length on every process
+    # since all stripes pad to max_stripe over the common template —
+    # gathered once and unpacked by offset.
+    metas = [(s.shape, s.dtype, s.nbytes) for s in stacked]
+    packed = (np.concatenate([np.ascontiguousarray(s).reshape(-1)
+                              .view(np.uint8) for s in stacked])
+              if stacked else np.zeros(0, np.uint8))
+    gathered = multihost_utils.process_allgather(packed)
+    gathered = np.asarray(gathered).reshape(n_proc, -1)
+
+    def unpack(owner):
+        arrs, off = [], 0
+        row = gathered[owner]
+        for shape, dtype, nbytes in metas:
+            arrs.append(row[off:off + nbytes].view(dtype).reshape(shape))
+            off += nbytes
+        return arrs
+
+    rows = {owner: unpack(owner) for owner in set(
+        i % n_proc for i in range(n))}
+    # rows[owner][j] has shape (max_stripe, ...)
     for i in range(n):
         owner, k = i % n_proc, i // n_proc
         out[i] = jax.tree_util.tree_unflatten(
-            treedef, [g[owner, k] for g in gathered]
+            treedef, [g[k] for g in rows[owner]]
         )
     return out

@@ -60,6 +60,22 @@ def main():
     expect = [float(sum(i * i for i in range(k + 3))) for k in range(5)]
     assert res == expect, (res, expect)
 
+    # -- multi-leaf mixed-dtype results: the whole map call must ride
+    # ONE packed DCN all-gather (leaves would otherwise gather one by
+    # one) and reconstruct exactly ------------------------------------- #
+    def fit_pytree(k):
+        import numpy as np
+
+        return {"v": np.arange(3, dtype=np.float64) * k,
+                "n": np.int32(k * 7),
+                "odd": np.bool_(k % 2 == 1)}
+
+    res2 = parallel.scenario_map(fit_pytree, list(range(5)))
+    for k, r in enumerate(res2):
+        assert np.allclose(r["v"], np.arange(3, dtype=np.float64) * k), r
+        assert int(r["n"]) == k * 7, r
+        assert bool(r["odd"]) == (k % 2 == 1), r
+
     # -- global-mesh reduction over both processes ---------------------- #
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
