@@ -28,6 +28,24 @@ import numpy as np
 import adelie_tpu as ad
 
 
+def phase_breakdown(st):
+    """Sum the driver's per-phase benchmark lists (screen / fit_screen /
+    kkt / invariance seconds + attempt counts) of the LAST fit — the
+    warm-latency profile VERDICT r3 #4 asks for."""
+    bm = getattr(st, "benchmark", None) or {}
+    out = {}
+    for k, vals in bm.items():
+        flat = []
+        for v in vals:
+            flat.extend(np.ravel(v).tolist())
+        if k.startswith("cd_"):
+            out[k] = int(np.sum(flat)) if flat else 0
+        else:
+            out[k + "_s"] = round(float(np.sum(flat)), 3)
+            out["n_" + k] = len(flat)
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # EUR_subset surrogate                                                         #
 # --------------------------------------------------------------------------- #
@@ -330,6 +348,8 @@ def config4_eur_snp_group_lasso(workdir="/tmp/eur_surrogate",
         "nnz_final": int((np.asarray(st.betas.todense())[-1] != 0).sum()),
         "bcd_updates": iters,
         "iters_per_s": round(iters / max(warm, 1e-9), 1),
+        "max_screen": int(max(st.screen_sizes)) if st.screen_sizes else 0,
+        "phases": phase_breakdown(st),
         "data_note": (
             "exact-shape surrogate (379 x 54051, LD-structured): the "
             "reference repo ships EUR_subset as git-LFS pointer stubs and "
@@ -359,6 +379,10 @@ def config5_multinomial_cox_cv(dtype=np.float32):
         ymn[i, rng.choice(K, p=Pmat[i])] = 1.0
     cons = [ct.box(-0.3 * np.ones(K), 0.3 * np.ones(K), dtype=dtype)
             if j < 10 else None for j in range(p)]
+    # warm-up (compile) then timed, so the number is comparable to the
+    # unconstrained yardstick below
+    st_mn = ad.grpnet(X, ad.glm.multinomial(ymn), constraints=cons,
+                      lmda_path_size=30, progress_bar=False)
     t0 = time.perf_counter()
     st_mn = ad.grpnet(X, ad.glm.multinomial(ymn), constraints=cons,
                       lmda_path_size=30, progress_bar=False)
@@ -368,6 +392,20 @@ def config5_multinomial_cox_cv(dtype=np.float32):
     out["multinomial_box_feasible"] = bool(
         (np.abs(Bfin[:10]) <= 0.3 + 1e-4).all()
     )
+    out["multinomial_constrained_phases"] = phase_breakdown(st_mn)
+    # unconstrained same-shape yardstick (VERDICT r3 #4: the constrained
+    # number existed only in isolation)
+    ad.grpnet(X, ad.glm.multinomial(ymn), lmda_path_size=30,
+              progress_bar=False)
+    t0 = time.perf_counter()
+    st_u = ad.grpnet(X, ad.glm.multinomial(ymn), lmda_path_size=30,
+                     progress_bar=False)
+    out["multinomial_unconstrained_30lmda_s"] = \
+        round(time.perf_counter() - t0, 3)
+    out["multinomial_constraint_overhead_x"] = round(
+        out["multinomial_constrained_30lmda_s"]
+        / max(out["multinomial_unconstrained_30lmda_s"], 1e-9), 1)
+    out["multinomial_unconstrained_ok"] = bool(st_u.error == "")
 
     # cox + k-fold CV
     n, p = 800, 100
