@@ -187,9 +187,43 @@ def screen_eigh(A, slot_begin, slot_size, qmax: int):
 # --------------------------------------------------------------------------- #
 
 
-def _sweep(carry, consts, active_only):
-    """One Gauss-Seidel pass over screen groups (reference
-    coordinate_descent, solver_gaussian_pin_naive.hpp:26-168, in cov form).
+def _compact(mask):
+    """Ascending indices of True slots + their count (static shapes: the
+    index buffer keeps length G; entries past the count are never read).
+
+    Sweeping over the COMPACTED index list instead of cond-skipping all G
+    slots is the difference between O(n_active) and O(G_cap) sequential
+    fori iterations per active-set pass — at EUR-surrogate scale
+    (screen ~10k groups, active ~300) the cond-skip loop's ~12us/slot
+    dispatch overhead was 97% of the entire warm fit (BENCH_r04 phases:
+    fit_screen 39.5 of 40.8 s).  Visit order is unchanged (ascending), so
+    iterates are bit-identical to the cond-skip formulation."""
+    idx = jnp.nonzero(mask, size=mask.shape[0], fill_value=0)[0]
+    return idx, jnp.sum(mask).astype(jnp.int32)
+
+
+def _make_plan(mask, consts):
+    """Compact ``mask`` into a sweep plan: (idx, n, pos, akk, pk).
+
+    The per-update gathers (positions, diagonals, penalties) are hoisted
+    HERE — once per phase/selection — because TPU gathers over a
+    G_cap-sized buffer cost milliseconds; re-running them inside every
+    sweep of an active-phase while_loop dominated the solve when they
+    lived in the sweep itself."""
+    (A, slot_begin, slot_size, eigvals, eigvecs, penalty, *_) = consts
+    idx, n = _compact(mask)
+    if eigvals.shape[1] != 1:
+        return idx, n, None, None, None
+    pos = slot_begin[idx]
+    akk = eigvals[idx, 0]
+    pk = penalty[idx].astype(A.dtype)
+    return idx, n, pos, akk, pk
+
+
+def _sweep(carry, consts, plan, update_active=True):
+    """One Gauss-Seidel pass over the slots listed in ``plan`` (reference
+    coordinate_descent, solver_gaussian_pin_naive.hpp:26-168, in cov
+    form).
 
     carry: (beta, grad, is_active, rsq)
     returns: (beta, grad, is_active, rsq, convg)
@@ -199,14 +233,15 @@ def _sweep(carry, consts, active_only):
     beta0, grad0, is_active0, rsq0 = carry
     S = A.shape[0]
     G, qmax = eigvals.shape
+    idx, n = plan[0], plan[1]
 
     if qmax == 1:
-        return _sweep_q1(carry, consts, active_only)
+        return _sweep_q1(carry, consts, plan, update_active)
 
-    def body(i, loop_carry):
+    def body(k, loop_carry):
         beta, grad, is_active, rsq, convg = loop_carry
+        i = idx[k]
         q = slot_size[i]
-        process = (q > 0) & (is_active[i] if active_only else True)
 
         def do(args):
             beta, grad, is_active, rsq, convg = args
@@ -251,29 +286,50 @@ def _sweep(carry, consts, active_only):
             return jax.lax.cond(changed, apply, lambda a: a,
                                 (beta, grad, is_active, rsq, convg))
 
-        return jax.lax.cond(process, do, lambda a: a,
-                            (beta, grad, is_active, rsq, convg))
+        return do((beta, grad, is_active, rsq, convg))
 
     beta, grad, is_active, rsq, convg = jax.lax.fori_loop(
-        0, G, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
+        0, n, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
     )
     return beta, grad, is_active, rsq, convg
 
 
-def _sweep_q1(carry, consts, active_only):
+def _sweep_q1(carry, consts, plan, update_active=True):
     """Lasso fast path: all groups size 1, closed-form soft threshold per
     coordinate (reference update_coordinate scalar overload,
-    solver_gaussian_pin_base.hpp:181-196) — no eigvec rotation, no Newton."""
+    solver_gaussian_pin_base.hpp:181-196) — no eigvec rotation, no Newton.
+
+    On TPU/f32 the compacted sweep runs as ONE Pallas kernel with the
+    Gram HBM-resident and per-update row DMA (pin_pallas.cd_sweep_rows_
+    pallas) — the XLA fori_loop below costs ~200 us of while-loop
+    machinery per sequential update, the kernel ~10 VPU row ops.
+    ``update_active=False`` (active-only sweeps, where every listed slot
+    is already active) skips the G_cap-sized scatter back into the
+    active flags."""
     (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
      l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
     beta0, grad0, is_active0, rsq0 = carry
     S = A.shape[0]
     G = eigvals.shape[0]
+    idx, n, pos, akk, pk = plan
 
-    def body(i, loop_carry):
+    if A.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        from .pin_pallas import cd_sweep_rows_pallas
+
+        beta, grad, moved, convg, rsq = cd_sweep_rows_pallas(
+            A, beta0, grad0, pos, akk, pk, n, l1, l2, rsq0,
+        )
+        if update_active:
+            # padded entries (k >= n) have moved == 0: the scatter-max is
+            # a no-op there even though their idx slots alias slot 0
+            is_active = is_active0.at[idx].max(moved > 0)
+        else:
+            is_active = is_active0
+        return beta, grad, is_active, rsq, convg
+
+    def body(k, loop_carry):
         beta, grad, is_active, rsq, convg = loop_carry
-        q = slot_size[i]
-        process = (q > 0) & (is_active[i] if active_only else True)
+        i = idx[k]
 
         def do(args):
             beta, grad, is_active, rsq, convg = args
@@ -303,13 +359,46 @@ def _sweep_q1(carry, consts, active_only):
             return jax.lax.cond(d != 0.0, apply, lambda a: a,
                                 (beta, grad, is_active, rsq, convg))
 
-        return jax.lax.cond(process, do, lambda a: a,
-                            (beta, grad, is_active, rsq, convg))
+        return do((beta, grad, is_active, rsq, convg))
 
     beta, grad, is_active, rsq, convg = jax.lax.fori_loop(
-        0, G, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
+        0, n, body, (beta0, grad0, is_active0, rsq0, jnp.zeros((), beta0.dtype))
     )
     return beta, grad, is_active, rsq, convg
+
+
+def _full_sweep_q1(carry, consts, plan_valid, update_active=True):
+    """Screen-set sweep, q == 1: vectorize the GRADIENT phase, serialize
+    only the UPDATE phase (SURVEY section 7 design stance).
+
+    One vectorized soft-threshold proposal at the sweep-entry gradient
+    selects the slots that want to move; only those run the sequential
+    Gauss-Seidel pass (with fresh gradients).  A slot whose stale
+    proposal is zero but would move after earlier in-sweep updates is
+    caught by the NEXT full sweep — the outer loop re-sweeps until a
+    pass applies no change, and a no-change pass leaves the gradient
+    untouched, so stale == fresh at termination (the per-lambda KKT
+    certificate still guards the final iterate).  Selection size tracks
+    the ACTIVE count, so a full sweep costs one vector op plus
+    O(n_active) sequential steps instead of O(n_screen) — the screen set
+    can be 30x the active set on LD-structured designs (EUR surrogate:
+    10,259 screened vs 271 active, BENCH_r04)."""
+    (A, slot_begin, slot_size, eigvals, eigvecs, penalty,
+     l1, l2, newton_tol, newton_max_iters, dbeta_tol) = consts
+    beta0, grad0, is_active0, rsq0 = carry
+
+    valid = slot_size > 0
+    pos = jnp.where(valid, slot_begin, 0)
+    akk = eigvals[:, 0]
+    bk = jnp.where(valid, beta0[pos], 0.0)
+    gk = jnp.where(valid, grad0[pos], 0.0)
+    u = gk + akk * bk
+    vthr = jnp.abs(u) - l1 * penalty
+    denom = akk + l2 * penalty
+    bnew = jnp.where(vthr > 0, jnp.sign(u) * vthr
+                     / jnp.where(denom > 0, denom, 1.0), 0.0)
+    sel = valid & (bnew != bk)
+    return _sweep_q1(carry, consts, _make_plan(sel, consts))
 
 
 def _pin_lasso_pallas_dispatch(
@@ -428,8 +517,14 @@ def pin_cov_solve(
     def _is_stalled(slow, convg):
         return (slow >= 3) & (convg <= stall_floor)
 
+    valid = slot_size > 0
+    plan_valid = _make_plan(valid, consts)
+
     def active_phase(state):
         beta, grad, is_active, rsq, iters = state
+        # the active set is FIXED throughout this phase (active sweeps
+        # only revisit already-active slots), so compact + gather once
+        plan_a = _make_plan(is_active & valid, consts)
 
         def cond(c):
             _, _, _, _, convg, slow, it = c
@@ -439,14 +534,16 @@ def pin_cov_solve(
         def body(c):
             beta, grad, is_active, rsq, prev, slow, it = c
             beta, grad, is_active, rsq, convg = _sweep(
-                (beta, grad, is_active, rsq), consts, active_only=True
+                (beta, grad, is_active, rsq), consts, plan_a,
+                update_active=False,
             )
             return (beta, grad, is_active, rsq, convg,
                     _slow_count(slow, convg, prev), it + 1)
 
         # always at least one active sweep (reference solve_active :181-215)
         beta, grad, is_active, rsq, convg = _sweep(
-            (beta, grad, is_active, rsq), consts, active_only=True
+            (beta, grad, is_active, rsq), consts, plan_a,
+            update_active=False,
         )
         beta, grad, is_active, rsq, convg, _, iters = jax.lax.while_loop(
             cond, body,
@@ -462,13 +559,26 @@ def pin_cov_solve(
         # (done stays False -> reported as a genuine failure)
         return (~done) & (iters < max_iters) & (~stalled) & ~jnp.isnan(convg)
 
+    # Filtered full sweeps only in the big-S regime (past the whole-solve
+    # Pallas kernel's VMEM cap, where O(S) sequential GS passes are the
+    # wall-clock problem).  Small problems keep exact Gauss-Seidel
+    # semantics: the filtered sweep's mover SELECTION branches on
+    # knife-edge f32 comparisons, which lets SPMD-vs-single-device
+    # reduction-order noise flip a selection and perturb trajectories
+    # past the test suite's strict equality tolerances.
+    from .pin_pallas import MAX_PALLAS_S as _S_CAP
+
+    full_sweep = (_full_sweep_q1
+                  if eigvals.shape[1] == 1 and A.shape[0] > _S_CAP
+                  else _sweep)
+
     def outer_body(state):
         beta, grad, is_active, rsq, prev, slow, iters, _ = state
         beta, grad, is_active, rsq, iters = active_phase(
             (beta, grad, is_active, rsq, iters)
         )
-        beta, grad, is_active, rsq, convg = _sweep(
-            (beta, grad, is_active, rsq), consts, active_only=False
+        beta, grad, is_active, rsq, convg = full_sweep(
+            (beta, grad, is_active, rsq), consts, plan_valid
         )
         iters = iters + 1
         done = convg < tol

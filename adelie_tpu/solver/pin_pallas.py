@@ -478,6 +478,184 @@ def pin_group_solve_pallas(
     )
 
 
+def _cd_sweep_rows_kernel(
+    pos_ref,          # (C/128, 128) VMEM int32 — position per update
+    akk_ref,          # (C/128, 128) VMEM f32   — quadratic diag per update
+    pk_ref,           # (C/128, 128) VMEM f32   — penalty per update
+    n_ref,            # (1, 1) SMEM int32 — number of listed updates
+    scal_ref,         # (1, 4) SMEM f32   — l1, l2, rsq0
+    A_ref,            # (S, S/128, 128) ANY (HBM) — Gram rows, pre-tiled
+    beta_ref,         # (S/128, 128) VMEM
+    grad_ref,         # (S/128, 128) VMEM
+    beta_out,         # (S/128, 128) — working buffer, read-modify-write
+    grad_out,         # (S/128, 128) — working buffer, read-modify-write
+    moved_out,        # (C/128, 128) f32 0/1 per listed update
+    convg_out,        # (1, 1) SMEM
+    rsq_out,          # (1, 1) SMEM
+    rowbuf,           # (NBUF, S/128, 128) VMEM scratch
+    sem,              # (NBUF,) DMA semaphores
+):
+    """One Gauss-Seidel CD pass over the listed coordinates with the Gram
+    HBM-resident (big-S regime: S > MAX_PALLAS_S, where the (S, S) Gram
+    cannot live in ~16 MB VMEM).
+
+    The XLA lax.fori_loop formulation of the same sweep costs ~200 us per
+    sequential coordinate update in while-loop machinery (BENCH_r04 EUR
+    probe: 72 ms for a 320-update sweep).  Design rules learned by
+    measurement on v5e:
+
+    * every per-update scalar (position, diagonal, penalty, coefficient,
+      gradient entry) lives in a (rows, 128)-tiled buffer so its
+      read/write touches ONE tile — (1, C) lane-major onehot reductions
+      cost ~128 tile-passes each and dominated the first version
+      (~25 us/update);
+    * the Gram ships pre-reshaped to (S, S/128, 128): row p is the
+      untiled leading-dim slice A_ref.at[p] — a 4S-byte DMA straight
+      into the gradient's own (S/128, 128) layout (the 2-D (S, S) form
+      needs 8-sublane-aligned slices, an 8x fetch waste, plus a row
+      select);
+    * all row addresses are known up front (the update list is fixed for
+      the sweep), so a depth-NBUF-1 prefetch pipeline hides the HBM DMA
+      latency behind the serial update chain.
+
+    The only O(S) work per update is the gradient AXPY."""
+    NBUF = rowbuf.shape[0]
+    l1 = scal_ref[0, 0]
+    l2 = scal_ref[0, 1]
+    rsq0 = scal_ref[0, 2]
+    n = n_ref[0, 0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def tile_get(ref, j, zero):
+        row = ref[pl.ds(j // 128, 1), :]
+        return jnp.sum(jnp.where(lane == j % 128, row, zero))
+
+    def pos_at(k):
+        return tile_get(pos_ref, k, 0)
+
+    def row_dma(k):
+        return pltpu.make_async_copy(
+            A_ref.at[pos_at(k)],
+            rowbuf.at[k % NBUF],
+            sem.at[k % NBUF],
+        )
+
+    # working copies into the output refs (they double as state)
+    beta_out[:] = beta_ref[:]
+    grad_out[:] = grad_ref[:]
+    moved_out[:] = jnp.zeros_like(moved_out)
+
+    # prime the pipeline (NBUF - 1 rows in flight)
+    for d in range(NBUF - 1):
+        @pl.when(d < n)
+        def _(d=d):
+            row_dma(d).start()
+
+    def body(k, carry):
+        convg, rsq = carry
+        slot = k % NBUF
+        p = pos_at(k)
+        akk = tile_get(akk_ref, k, 0.0)
+        pk = tile_get(pk_ref, k, 0.0)
+
+        # wait for row k (same triple as the start's copy)
+        row_dma(k).wait()
+
+        onelane = lane == p % 128
+        brow = beta_out[pl.ds(p // 128, 1), :]
+        b_i = jnp.sum(jnp.where(onelane, brow, 0.0))
+        g_i = tile_get(grad_out, p, 0.0)
+        u = g_i + akk * b_i
+        mag = jnp.maximum(jnp.abs(u) - l1 * pk, 0.0)
+        den = akk + l2 * pk
+        bnew = jnp.where(den > 0,
+                         jnp.sign(u) * mag / jnp.where(den > 0, den, 1.0),
+                         b_i)
+        delta = bnew - b_i
+
+        grad_out[:] = grad_out[:] - delta * rowbuf[pl.ds(slot, 1)][0]
+        beta_out[pl.ds(p // 128, 1), :] = jnp.where(onelane, bnew, brow)
+        did = (delta != 0.0).astype(brow.dtype)
+        mrow = moved_out[pl.ds(k // 128, 1), :]
+        moved_out[pl.ds(k // 128, 1), :] = jnp.where(
+            lane == k % 128, did, mrow)
+        convg = jnp.maximum(convg, akk * delta * delta)
+        rsq = rsq + delta * (2.0 * g_i - delta * akk)
+
+        # refill the slot we just consumed with row k + NBUF - 1
+        @pl.when(k + NBUF - 1 < n)
+        def _():
+            row_dma(k + NBUF - 1).start()
+
+        return convg, rsq
+
+    convg, rsq = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((), beta_ref.dtype), rsq0),
+    )
+    convg_out[0, 0] = convg
+    rsq_out[0, 0] = rsq
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cd_sweep_rows_pallas(
+    A, beta, grad, pos, akk, pk, n, l1, l2, rsq, interpret: bool = False,
+):
+    """One compacted CD sweep with the Gram in HBM (q == 1 slots).
+
+    pos/akk/pk list the updates in sweep order (padded past ``n``).
+    Returns (beta, grad, moved, convg, rsq) — ``moved[k]`` says whether
+    listed update k changed its coordinate (the caller scatters it back
+    into slot-level active flags)."""
+    S = A.shape[0]
+    C = pos.shape[0]
+    dtype = beta.dtype
+    NBUF = 4
+    assert S % 128 == 0, S
+    Cp = -(-C // 128) * 128  # pad the update list to whole 128-lane tiles
+    if Cp != C:
+        pad = Cp - C
+        pos = jnp.concatenate([pos, jnp.zeros(pad, pos.dtype)])
+        akk = jnp.concatenate([akk, jnp.zeros(pad, akk.dtype)])
+        pk = jnp.concatenate([pk, jnp.zeros(pad, pk.dtype)])
+    scal = jnp.stack([
+        l1.astype(dtype), l2.astype(dtype), rsq.astype(dtype),
+        jnp.zeros((), dtype),
+    ]).reshape(1, 4)
+    out_shapes = (
+        jax.ShapeDtypeStruct((S // 128, 128), dtype),   # beta
+        jax.ShapeDtypeStruct((S // 128, 128), dtype),   # grad
+        jax.ShapeDtypeStruct((Cp // 128, 128), dtype),  # moved
+        jax.ShapeDtypeStruct((1, 1), dtype),            # convg
+        jax.ShapeDtypeStruct((1, 1), dtype),            # rsq
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anym = pl.BlockSpec(memory_space=pltpu.ANY)
+    beta2, grad2, moved, convg, rsq2 = pl.pallas_call(
+        _cd_sweep_rows_kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem, vmem, vmem, smem, smem, anym, vmem, vmem],
+        out_specs=(vmem, vmem, vmem, smem, smem),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, S // 128, 128), dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+    )(
+        pos.reshape(Cp // 128, 128).astype(jnp.int32),
+        akk.reshape(Cp // 128, 128).astype(dtype),
+        pk.reshape(Cp // 128, 128).astype(dtype),
+        n.reshape(1, 1).astype(jnp.int32),
+        scal,
+        A.reshape(S, S // 128, 128),
+        beta.reshape(S // 128, 128).astype(dtype),
+        grad.reshape(S // 128, 128).astype(dtype),
+    )
+    return (beta2.reshape(S), grad2.reshape(S), moved.reshape(Cp)[:C],
+            convg[0, 0], rsq2[0, 0])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pin_lasso_solve_pallas(
     A, grad, beta, diag, valid, active, penalty,

@@ -186,3 +186,93 @@ def test_pallas_warm_start():
     np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
                                atol=2e-5)
     assert np.isclose(float(out_x[3]), float(out_p[3]), atol=1e-4)
+
+
+def test_cd_sweep_rows_matches_numpy_gs():
+    """The big-S row-DMA sweep kernel (interpret mode) reproduces a
+    numpy Gauss-Seidel pass over the listed coordinates exactly,
+    including the moved flags and the rsq/convg bookkeeping."""
+    import jax.numpy as jnp
+
+    from adelie_tpu.solver.pin_pallas import cd_sweep_rows_pallas
+
+    rng = np.random.default_rng(0)
+    S, C = 128, 40
+    B = rng.standard_normal((100, S)).astype(np.float32) / 10
+    A = (B.T @ B + np.eye(S, dtype=np.float32)).astype(np.float32)
+    beta = rng.standard_normal(S).astype(np.float32) * 0.1
+    grad = rng.standard_normal(S).astype(np.float32)
+    pos = (np.arange(C) * 3 % S).astype(np.int32)
+    n = 25
+    akk = A[pos, pos].copy()
+    pk = np.ones(C, np.float32)
+    l1, l2, rsq0 = np.float32(0.3), np.float32(0.1), np.float32(0.25)
+
+    b2, g2, moved, convg, rsq = cd_sweep_rows_pallas(
+        jnp.asarray(A), jnp.asarray(beta), jnp.asarray(grad),
+        jnp.asarray(pos), jnp.asarray(akk), jnp.asarray(pk),
+        jnp.asarray(n, jnp.int32), jnp.asarray(l1), jnp.asarray(l2),
+        jnp.asarray(rsq0), interpret=True)
+
+    bn, gn, rq, cg = beta.copy(), grad.copy(), float(rsq0), 0.0
+    mv = np.zeros(C, np.float32)
+    for k in range(n):
+        p = pos[k]
+        u = gn[p] + akk[k] * bn[p]
+        mag = max(abs(u) - l1 * pk[k], 0.0)
+        den = akk[k] + l2 * pk[k]
+        bnew = np.sign(u) * mag / den if den > 0 else bn[p]
+        d = bnew - bn[p]
+        rq += d * (2 * gn[p] - d * akk[k])
+        gn = gn - d * A[p]
+        bn[p] = bnew
+        if d != 0:
+            mv[k] = 1
+        cg = max(cg, akk[k] * d * d)
+
+    np.testing.assert_allclose(np.asarray(b2), bn, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g2), gn, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(moved), mv)
+    assert np.isclose(float(convg), cg, rtol=1e-4)
+    assert np.isclose(float(rsq), rq, rtol=1e-4)
+
+
+def test_big_s_filtered_full_sweep_solution():
+    """S past MAX_PALLAS_S switches pin_cov_solve's full screen sweeps to
+    the filtered (vectorized-selection) formulation; the solution must
+    still match the small-S exact-Gauss-Seidel solve at solver tol."""
+    import jax.numpy as jnp
+
+    from adelie_tpu.solver.pin import pin_cov_solve
+    from adelie_tpu.solver.pin_pallas import MAX_PALLAS_S
+
+    rng = np.random.default_rng(5)
+    p = 96
+    B = rng.standard_normal((200, p)).astype(np.float32) / 14
+    A_small = (B.T @ B + 0.5 * np.eye(p, dtype=np.float32))
+    grad = rng.standard_normal(p).astype(np.float32)
+
+    def solve(S_cap):
+        A = np.zeros((S_cap, S_cap), np.float32)
+        A[:p, :p] = A_small
+        g = np.zeros(S_cap, np.float32)
+        g[:p] = grad
+        f = jnp.float32
+        sb = jnp.arange(S_cap, dtype=jnp.int32)
+        ssz = jnp.asarray((np.arange(S_cap) < p).astype(np.int32))
+        ev = jnp.asarray(
+            np.where(np.arange(S_cap) < p, np.diag(A), 1.0)
+            [:, None].astype(np.float32))
+        evec = jnp.ones((S_cap, 1, 1), jnp.float32)
+        pen = jnp.ones((S_cap,), jnp.float32)
+        out = pin_cov_solve(
+            jnp.asarray(A), jnp.asarray(g), jnp.zeros(S_cap, jnp.float32),
+            sb, ssz, ev, evec, pen, jnp.zeros(S_cap, bool),
+            f(0.2), f(1.0), f(1e-10), f(1e-14), f(1e-12),
+            jnp.int32(1000), jnp.int32(100000), f(0.0))
+        assert bool(out[5]), "pin solve must converge"
+        return np.asarray(out[0])[:p]
+
+    b_small = solve(128)                     # exact GS full sweeps
+    b_big = solve(MAX_PALLAS_S + 1024)       # filtered full sweeps
+    np.testing.assert_allclose(b_small, b_big, atol=5e-5)
