@@ -85,8 +85,11 @@ def _admm_update(P, DH, UH, v_t, l1, l2, lo, hi, x0, mu0, rho,
     return x, rho * u
 
 
-def _sweep_constrained(carry, consts, active_only, cons_method="admm"):
-    """Gauss-Seidel pass with constraint dispatch per group.
+def _sweep_constrained(carry, consts, idx, n, cons_method="admm"):
+    """Gauss-Seidel pass with constraint dispatch over the slots listed
+    in ``idx[:n]`` (compacted, ascending — see pin._compact: iterating
+    the compacted list instead of cond-skipping all G_cap slots removes
+    ~12 us of while-loop machinery per skipped slot).
 
     ``cons_method`` (trace-time constant) selects the per-group
     constrained block solver: inline ADMM or the reference's dual
@@ -101,10 +104,10 @@ def _sweep_constrained(carry, consts, active_only, cons_method="admm"):
     S = A.shape[0]
     G, qmax = eigvals.shape
 
-    def body(i, loop_carry):
+    def body(k, loop_carry):
         beta, grad, is_active, rsq, mu, convg = loop_carry
+        i = idx[k]
         q = slot_size[i]
-        process = (q > 0) & (is_active[i] if active_only else True)
 
         def do(args):
             beta, grad, is_active, rsq, mu, convg = args
@@ -179,11 +182,10 @@ def _sweep_constrained(carry, consts, active_only, cons_method="admm"):
             mu = mu.at[i].set(mu_i)
             return beta, grad, is_active, rsq, mu, convg
 
-        return jax.lax.cond(process, do, lambda a: a,
-                            (beta, grad, is_active, rsq, mu, convg))
+        return do((beta, grad, is_active, rsq, mu, convg))
 
     beta, grad, is_active, rsq, mu, convg = jax.lax.fori_loop(
-        0, G, body,
+        0, n, body,
         (beta0, grad0, is_active0, rsq0, mu0, jnp.zeros((), beta0.dtype)),
     )
     return beta, grad, is_active, rsq, mu, convg
@@ -271,8 +273,15 @@ def pin_cov_solve_constrained(
     def _is_stalled(slow, convg):
         return (slow >= 3) & (convg <= stall_floor)
 
+    from .pin import _compact
+
+    valid = slot_size > 0
+    idx_valid, n_valid = _compact(valid)
+
     def active_phase(state):
         beta, grad, is_active, rsq, mu, iters = state
+        # the active set is fixed throughout this phase: compact once
+        idx_a, n_a = _compact(is_active & valid)
 
         def cond(c):
             _, _, _, _, _, convg, slow, it = c
@@ -282,13 +291,14 @@ def pin_cov_solve_constrained(
         def body(c):
             beta, grad, is_active, rsq, mu, prev, slow, it = c
             beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-                (beta, grad, is_active, rsq, mu), consts, True, cons_method
+                (beta, grad, is_active, rsq, mu), consts, idx_a, n_a,
+                cons_method,
             )
             return (beta, grad, is_active, rsq, mu, convg,
                     _slow_count(slow, convg, prev), it + 1)
 
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-            (beta, grad, is_active, rsq, mu), consts, True, cons_method
+            (beta, grad, is_active, rsq, mu), consts, idx_a, n_a, cons_method
         )
         out = jax.lax.while_loop(
             cond, body,
@@ -309,7 +319,8 @@ def pin_cov_solve_constrained(
             (beta, grad, is_active, rsq, mu, iters)
         )
         beta, grad, is_active, rsq, mu, convg = _sweep_constrained(
-            (beta, grad, is_active, rsq, mu), consts, False, cons_method
+            (beta, grad, is_active, rsq, mu), consts, idx_valid, n_valid,
+            cons_method,
         )
         iters = iters + 1
         done = convg < tol

@@ -484,15 +484,15 @@ def _cd_sweep_rows_kernel(
     pk_ref,           # (C/128, 128) VMEM f32   — penalty per update
     n_ref,            # (1, 1) SMEM int32 — number of listed updates
     scal_ref,         # (1, 4) SMEM f32   — l1, l2, rsq0
-    A_ref,            # (S, S/128, 128) ANY (HBM) — Gram rows, pre-tiled
+    A_ref,            # (S, S) ANY (HBM)  — screen Gram, rows DMA'd on demand
     beta_ref,         # (S/128, 128) VMEM
-    grad_ref,         # (S/128, 128) VMEM
+    grad_ref,         # (1, S) VMEM
     beta_out,         # (S/128, 128) — working buffer, read-modify-write
-    grad_out,         # (S/128, 128) — working buffer, read-modify-write
+    grad_out,         # (1, S)
     moved_out,        # (C/128, 128) f32 0/1 per listed update
     convg_out,        # (1, 1) SMEM
     rsq_out,          # (1, 1) SMEM
-    rowbuf,           # (NBUF, S/128, 128) VMEM scratch
+    rowbuf,           # (NBUF, 8, S) VMEM scratch
     sem,              # (NBUF,) DMA semaphores
 ):
     """One Gauss-Seidel CD pass over the listed coordinates with the Gram
@@ -501,30 +501,32 @@ def _cd_sweep_rows_kernel(
 
     The XLA lax.fori_loop formulation of the same sweep costs ~200 us per
     sequential coordinate update in while-loop machinery (BENCH_r04 EUR
-    probe: 72 ms for a 320-update sweep).  Design rules learned by
-    measurement on v5e:
+    probe: 72 ms for a 320-update sweep).  Here the only O(S) work per
+    update is the gradient row-AXPY plus one onehot gradient read; every
+    other scalar (position, diagonal, penalty, coefficient) lives in a
+    (rows, 128)-tiled buffer so its read/write touches ONE tile — the
+    first kernel version kept them (1, C) lane-major and burned ~25 us
+    per update on 128-tile onehot reductions.  Row addresses are all
+    known up front (the update list is fixed for the sweep), so a
+    depth-NBUF-1 prefetch pipeline hides the HBM row DMA latency behind
+    the serial update chain.  HBM slices must be 8-sublane aligned: each
+    fetch grabs the aligned (8, S) block and selects the row in VMEM.
 
-    * every per-update scalar (position, diagonal, penalty, coefficient,
-      gradient entry) lives in a (rows, 128)-tiled buffer so its
-      read/write touches ONE tile — (1, C) lane-major onehot reductions
-      cost ~128 tile-passes each and dominated the first version
-      (~25 us/update);
-    * the Gram ships pre-reshaped to (S, S/128, 128): row p is the
-      untiled leading-dim slice A_ref.at[p] — a 4S-byte DMA straight
-      into the gradient's own (S/128, 128) layout (the 2-D (S, S) form
-      needs 8-sublane-aligned slices, an 8x fetch waste, plus a row
-      select);
-    * all row addresses are known up front (the update list is fixed for
-      the sweep), so a depth-NBUF-1 prefetch pipeline hides the HBM DMA
-      latency behind the serial update chain.
-
-    The only O(S) work per update is the gradient AXPY."""
+    Measured A/B (v5e, S=16384, 320-update sweep): this formulation runs
+    3.5 ms/sweep.  A variant that also tiled the GRADIENT to
+    (S/128, 128) — making g_i a one-tile read, with the row DMA landing
+    directly in that layout via a (S, S/128, 128) Gram — measured
+    5.8 ms/sweep: the per-update full-gradient read-modify-write through
+    a VMEM ref costs more than the lane-major carry + onehot read it
+    saves.  Keep grad a loop CARRY in (1, S) lane-major form."""
+    S = grad_ref.shape[1]
     NBUF = rowbuf.shape[0]
     l1 = scal_ref[0, 0]
     l2 = scal_ref[0, 1]
     rsq0 = scal_ref[0, 2]
     n = n_ref[0, 0]
 
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def tile_get(ref, j, zero):
@@ -535,15 +537,15 @@ def _cd_sweep_rows_kernel(
         return tile_get(pos_ref, k, 0)
 
     def row_dma(k):
+        p8 = (pos_at(k) // 8) * 8
         return pltpu.make_async_copy(
-            A_ref.at[pos_at(k)],
+            A_ref.at[pl.ds(p8, 8), :],
             rowbuf.at[k % NBUF],
             sem.at[k % NBUF],
         )
 
     # working copies into the output refs (they double as state)
     beta_out[:] = beta_ref[:]
-    grad_out[:] = grad_ref[:]
     moved_out[:] = jnp.zeros_like(moved_out)
 
     # prime the pipeline (NBUF - 1 rows in flight)
@@ -553,19 +555,19 @@ def _cd_sweep_rows_kernel(
             row_dma(d).start()
 
     def body(k, carry):
-        convg, rsq = carry
+        grad, convg, rsq = carry
         slot = k % NBUF
         p = pos_at(k)
         akk = tile_get(akk_ref, k, 0.0)
         pk = tile_get(pk_ref, k, 0.0)
 
-        # wait for row k (same triple as the start's copy)
+        # wait for row-block k (same triple as the start's copy)
         row_dma(k).wait()
 
-        onelane = lane == p % 128
         brow = beta_out[pl.ds(p // 128, 1), :]
+        onelane = lane == p % 128
         b_i = jnp.sum(jnp.where(onelane, brow, 0.0))
-        g_i = tile_get(grad_out, p, 0.0)
+        g_i = jnp.sum(jnp.where(col_s == p, grad, 0.0))
         u = g_i + akk * b_i
         mag = jnp.maximum(jnp.abs(u) - l1 * pk, 0.0)
         den = akk + l2 * pk
@@ -574,9 +576,10 @@ def _cd_sweep_rows_kernel(
                          b_i)
         delta = bnew - b_i
 
-        grad_out[:] = grad_out[:] - delta * rowbuf[pl.ds(slot, 1)][0]
+        row = rowbuf[slot, pl.ds(p % 8, 1), :]
+        grad = grad - delta * row
         beta_out[pl.ds(p // 128, 1), :] = jnp.where(onelane, bnew, brow)
-        did = (delta != 0.0).astype(brow.dtype)
+        did = (delta != 0.0).astype(grad.dtype)
         mrow = moved_out[pl.ds(k // 128, 1), :]
         moved_out[pl.ds(k // 128, 1), :] = jnp.where(
             lane == k % 128, did, mrow)
@@ -588,11 +591,13 @@ def _cd_sweep_rows_kernel(
         def _():
             row_dma(k + NBUF - 1).start()
 
-        return convg, rsq
+        return grad, convg, rsq
 
-    convg, rsq = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((), beta_ref.dtype), rsq0),
+    grad, convg, rsq = jax.lax.fori_loop(
+        0, n, body,
+        (grad_ref[:], jnp.zeros((), grad_ref.dtype), rsq0),
     )
+    grad_out[:] = grad
     convg_out[0, 0] = convg
     rsq_out[0, 0] = rsq
 
@@ -624,7 +629,7 @@ def cd_sweep_rows_pallas(
     ]).reshape(1, 4)
     out_shapes = (
         jax.ShapeDtypeStruct((S // 128, 128), dtype),   # beta
-        jax.ShapeDtypeStruct((S // 128, 128), dtype),   # grad
+        jax.ShapeDtypeStruct((1, S), dtype),            # grad
         jax.ShapeDtypeStruct((Cp // 128, 128), dtype),  # moved
         jax.ShapeDtypeStruct((1, 1), dtype),            # convg
         jax.ShapeDtypeStruct((1, 1), dtype),            # rsq
@@ -638,7 +643,7 @@ def cd_sweep_rows_pallas(
         in_specs=[vmem, vmem, vmem, smem, smem, anym, vmem, vmem],
         out_specs=(vmem, vmem, vmem, smem, smem),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, S // 128, 128), dtype),
+            pltpu.VMEM((NBUF, 8, S), dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
@@ -648,11 +653,11 @@ def cd_sweep_rows_pallas(
         pk.reshape(Cp // 128, 128).astype(dtype),
         n.reshape(1, 1).astype(jnp.int32),
         scal,
-        A.reshape(S, S // 128, 128),
+        A,
         beta.reshape(S // 128, 128).astype(dtype),
-        grad.reshape(S // 128, 128).astype(dtype),
+        grad.reshape(1, S).astype(dtype),
     )
-    return (beta2.reshape(S), grad2.reshape(S), moved.reshape(Cp)[:C],
+    return (beta2.reshape(S), grad2[0], moved.reshape(Cp)[:C],
             convg[0, 0], rsq2[0, 0])
 
 
