@@ -37,7 +37,15 @@ class Configs:
     # than a single BASIL retry round trip (tunneled-TPU RTT ~26ms).
     screen_all_max: int = 1024
     # Matmul precision for the large MXU contractions ("default" | "float32" |
-    # "highest").  CD inner loops always run in the solver dtype.
+    # "highest" | "x3").  CD inner loops always run in the solver dtype.
+    # Measured v5e (benchmark/gram_probe.py, n=50k S=1024 screen Gram):
+    # "highest" lowers to ~6 bf16 passes (35.9 TF/s, max rel err 3.3e-7 vs
+    # f64), "x3" to 3 passes (52.3 TF/s, 1.7x faster, rel err 1.2e-5),
+    # "default" to 1 pass (66.2 TF/s, bf16-grade error ~3e-4).  The default
+    # stays "highest": the solver's KKT certificates and stall-honesty
+    # tolerances are calibrated for f32-grade Grams.  "x3" is the right
+    # opt-in when Gram time dominates and ~1e-5 relative is acceptable.
+    # Read at trace time: flips after a path has compiled do not retrace.
     matmul_precision: str = "highest"
     # Cooperative interrupt/watchdog guard: total CD sweeps a single fused
     # lambda-chunk device program may spend before freezing and returning
@@ -95,6 +103,32 @@ class Configs:
 
 _default = Configs()
 configs = Configs()
+
+# jax.lax precision objects are only importable with jax; map lazily.
+_PRECISION_STRINGS = {
+    "default": "DEFAULT",
+    "float32": "HIGHEST",
+    "highest": "HIGHEST",
+    # 3-pass bf16 split: jax accepts the DotAlgorithmPreset name directly.
+    "x3": "BF16_BF16_F32_X3",
+}
+
+
+def matmul_precision_value():
+    """The ``precision=`` argument encoding ``configs.matmul_precision``."""
+    name = configs.matmul_precision
+    try:
+        key = _PRECISION_STRINGS[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown matmul_precision: {name!r}. "
+            f"Valid: {sorted(_PRECISION_STRINGS)}"
+        ) from None
+    if key.startswith("BF16"):
+        return key
+    import jax
+
+    return getattr(jax.lax.Precision, key)
 
 
 def set_configs(name: str, value=None):

@@ -73,9 +73,15 @@ def screen_gram(Xs, w, intercept: bool):
 
 @functools.partial(jax.jit, static_argnames=("intercept",))
 def _screen_gram_plain(Xs, w, intercept: bool):
+    # configs.matmul_precision governs the Gram contraction (measured
+    # v5e tradeoffs in configs.py / benchmark/gram_probe.py); read at
+    # trace time per the configs contract.
+    from ..configs import matmul_precision_value
+
+    prec = matmul_precision_value()
     Xw = Xs * w[:, None]
-    means = jnp.einsum("ns,n->s", Xs, w, precision=_PRECISION)
-    A = jnp.einsum("ns,nt->st", Xs, Xw, precision=_PRECISION)
+    means = jnp.einsum("ns,n->s", Xs, w, precision=prec)
+    A = jnp.einsum("ns,nt->st", Xs, Xw, precision=prec)
     if intercept:
         A = A - jnp.outer(means, means)
     return A, means
@@ -142,9 +148,12 @@ def _screen_gram_extend_impl(
         means_new = compensated.mul_tn(Xnew, w, chunk=chunk)
         cross = compensated.cross_tn(Xs, Xnew, w, chunk=chunk)
     else:
-        means_new = jnp.einsum("nd,n->d", Xnew, w, precision=_PRECISION)
+        from ..configs import matmul_precision_value
+
+        prec = matmul_precision_value()
+        means_new = jnp.einsum("nd,n->d", Xnew, w, precision=prec)
         cross = jnp.einsum(
-            "ns,nd->sd", Xs, Xnew * w[:, None], precision=_PRECISION
+            "ns,nd->sd", Xs, Xnew * w[:, None], precision=prec
         )
     means = jax.lax.dynamic_update_slice(means_pad, means_new, (s_old,))
     if intercept:

@@ -99,11 +99,14 @@ def _probe_backend(timeout_s=240):
 
 # v5e (TPU v5 lite) per-chip peaks; fall back to these when the device
 # kind is unrecognized (the roofline percentages are then approximate).
-# f32 matmuls at HIGHEST precision decompose into bf16 passes; measured
-# throughput (~47 TFLOP/s) shows the effective ceiling is the 3-pass
-# rate, not the 6-pass worst case.
+# f32 matmuls at HIGHEST precision decompose into bf16 passes.  Measured
+# (benchmark/gram_probe.py, r4): HIGHEST runs at the SIX-pass rate on the
+# tall-skinny Gram shape (35.9 TF/s pure ~ X6's 32.1; the 3-pass
+# algorithm X3 reaches 52.3 and 1-pass DEFAULT 66.2, at 35x / 1000x the
+# numerical error).  Earlier rounds assumed a 3-pass ceiling, which
+# understated screen_gram's roofline fraction ~2x (44.6% -> ~92%).
 HBM_PEAK_GBPS = 819.0
-MXU_F32_HIGHEST_TFLOPS = 197.0 / 3.0
+MXU_F32_HIGHEST_TFLOPS = 197.0 / 6.0
 
 
 def _objective(X, y, beta, lmda):
