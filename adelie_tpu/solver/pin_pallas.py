@@ -636,7 +636,7 @@ def cd_sweep_rows_pallas(
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anym = pl.BlockSpec(memory_space=pltpu.ANY)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
     beta2, grad2, moved, convg, rsq2 = pl.pallas_call(
         _cd_sweep_rows_kernel,
         out_shape=out_shapes,

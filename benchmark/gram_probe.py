@@ -1,5 +1,9 @@
 """Probe: where do screen_gram's cycles go on the real chip?
 
+(Supersedes the r3 question-script probe_gram.py, folded here in r5:
+the experiment matrix below is its question list plus the measured
+answers.)
+
 Measured v5e results (r4, this script), n=50000 S=1024, 105 GFLOP:
 
     gram_HIGHEST          2.92 ms   35.9 TF/s   (pure contraction)
