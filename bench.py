@@ -57,17 +57,47 @@ def _emit():
     print(json.dumps(RESULT), flush=True)
 
 
+def _transport_stamp():
+    """Cheap (~8 MB) H2D probe run before every block: cross-round bench
+    comparisons need to be filterable by tunnel health (identical code
+    measured constraint_overhead_x at 2.1 and 3.0 in r4 purely from
+    transport variance).  Returns {} off-accelerator or on any failure —
+    a broken stamp must never cost a block its numbers."""
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return {}
+        rng = np.random.default_rng(0)
+        b = rng.integers(0, 255, size=(8 << 20,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        jax.device_get(jax.device_put(b)[0])
+        put_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(jax.device_put(np.zeros(8, np.float32)).sum())
+        rtt_s = time.perf_counter() - t0
+        return {"h2d_gbps": round(8 / 1024 / max(put_s - rtt_s, 1e-4), 3),
+                "rtt_ms": round(rtt_s * 1e3, 1),
+                "at_s": round(time.monotonic() - T0, 1)}
+    except Exception:
+        return {}
+
+
 def _block(name, fn, est_s):
-    """Run one bench block if the remaining budget covers its estimate."""
+    """Run one bench block if the remaining budget covers its estimate.
+    Each block's result dict is stamped with the live transport state."""
     rem = _remaining()
     if rem < est_s:
         RESULT[name] = {
             "skipped": f"budget: {rem:.0f}s remaining < ~{est_s}s estimate"}
     else:
+        stamp = _transport_stamp()
         try:
             RESULT[name] = fn()
         except Exception as exc:
             RESULT[name] = {"error": str(exc)[:300]}
+        if isinstance(RESULT[name], dict) and stamp:
+            RESULT[name].setdefault("transport_stamp", stamp)
     _emit()
 
 
@@ -526,13 +556,30 @@ def _north_star_run(nsd, P_run, nb, degraded, probe, est_passes, budget_s,
         out["est_full_cold_s"] = round(cold * nsd.P / P_run, 1)
     if degraded:
         out["transport_degraded"] = True
-    # warm fit only if it still fits the budget
+    # warm fit only if it still fits the budget.  r4's capture had
+    # warm > cold (transport noise), which invalidated the linear-in-P
+    # extrapolation — so the block now asserts coherence itself: when
+    # warm comes out slower than cold AND budget allows, retry once and
+    # keep the min; either way `warm_coherent` states the verdict and
+    # the extrapolation uses the fastest full fit observed.
     remaining = budget_s - (time.perf_counter() - t_block)
     if remaining > 1.2 * cold:
         t0 = time.perf_counter()
         st = ad.grpnet(Xm, glm, **kw)
-        out["warm_s"] = round(time.perf_counter() - t0, 1)
+        warm = time.perf_counter() - t0
         assert st.error == "", st.error
+        remaining = budget_s - (time.perf_counter() - t_block)
+        if warm > cold and remaining > 1.2 * warm:
+            t0 = time.perf_counter()
+            st = ad.grpnet(Xm, glm, **kw)
+            warm2 = time.perf_counter() - t0
+            assert st.error == "", st.error
+            out["warm_retry_s"] = round(warm2, 1)
+            warm = min(warm, warm2)
+        out["warm_s"] = round(warm, 1)
+        out["warm_coherent"] = bool(warm < cold)
+        if P_run < nsd.P:
+            out["est_full_warm_s"] = round(warm * nsd.P / P_run, 1)
     return out
 
 
@@ -912,37 +959,50 @@ def main():
     _emit()   # first parseable line before any heavy work
 
     _merge_block(_headline_block, est_s=240)
+
+    # BLOCK ORDER (r5, VERDICT r4 #1): the two BASELINE-critical blocks
+    # (EUR, north star) run FIRST after the headline.  Rounds 2-4 all
+    # ended with them starved because earlier blocks overran static
+    # estimates; ordering — not estimation — is the only robust fix.
+    # Each runs in a SUBPROCESS with a hard timeout so a mid-stream
+    # tunnel hang cannot swallow the lines already emitted.
+    if jax.default_backend() != "tpu":
+        for k in ("eur_subset", "north_star_1m_x_100k_streamed",
+                  "gwas_snp_path"):
+            RESULT[k] = {"skipped": "no TPU backend"}
+        _emit()
+    else:
+        def eur():
+            # leave >= ~1100 s for north star + gwas + small blocks
+            cap = int(max(120, min(900, _remaining() - 1100)))
+            return _run_isolated("_eur_bench", timeout_s=cap,
+                                 fallback_inproc=True)
+
+        _block("eur_subset", eur, est_s=180)
+
+        def north():
+            # leave ~500 s for gwas + the small kernel blocks
+            cap = int(max(240, _remaining() - 500))
+            env = {"ADELIE_TPU_NORTH_STAR_BUDGET_S": str(max(60, cap - 30))}
+            return _run_isolated("_north_star_bench", timeout_s=cap,
+                                 fallback_inproc=True, env=env)
+
+        _block("north_star_1m_x_100k_streamed", north, est_s=240)
+
+        def gwas():
+            cap = int(max(120, min(700, _remaining() - 150)))
+            # the child derives its nested fresh-process probe cap from
+            # ITS OWN _remaining(); align its budget with the hard cap
+            env = {"ADELIE_TPU_BENCH_BUDGET_S": str(cap - 15)}
+            return _run_isolated("_gwas_bench", timeout_s=cap,
+                                 fallback_inproc=True, env=env)
+
+        _block("gwas_snp_path", gwas, est_s=240)
+
     _block("kernels", _kernel_rooflines, est_s=150)
     _merge_block(_constrained_block, est_s=150)
     _block("sparse", _sparse_bench, est_s=120)
     _block("grouped_pin", _grouped_pin_bench, est_s=90)
-
-    if jax.default_backend() != "tpu":
-        for k in ("gwas_snp_path", "eur_subset",
-                  "north_star_1m_x_100k_streamed"):
-            RESULT[k] = {"skipped": "no TPU backend"}
-        _emit()
-        return
-
-    _block("gwas_snp_path", _gwas_bench, est_s=360)
-
-    # the two big-data blocks run in SUBPROCESSES with hard timeouts
-    # derived from the remaining budget: a hang there (tunnel degradation
-    # mid-stream) must not swallow the lines already emitted
-    def eur():
-        cap = int(max(120, min(900, _remaining() - 300)))
-        return _run_isolated("_eur_bench", timeout_s=cap,
-                             fallback_inproc=True)
-
-    _block("eur_subset", eur, est_s=300)
-
-    def north():
-        cap = int(max(120, _remaining() - 45))
-        env = {"ADELIE_TPU_NORTH_STAR_BUDGET_S": str(max(60, cap - 30))}
-        return _run_isolated("_north_star_bench", timeout_s=cap,
-                             fallback_inproc=True, env=env)
-
-    _block("north_star_1m_x_100k_streamed", north, est_s=300)
 
 
 if __name__ == "__main__":

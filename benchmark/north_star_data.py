@@ -50,9 +50,12 @@ def ensure(seed=11, chunk_rows=20_000, verbose=True):
     """Create (or reuse) the packed memmap + response; returns
     (packed_memmap (P, NB) uint8, y (N,) f32, causal_idx, beta)."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    done = os.path.exists(PACKED_PATH) and os.path.exists(Y_PATH) and \
+    packed_done = os.path.exists(PACKED_PATH) and \
         os.path.getsize(PACKED_PATH) == P * NB
-    if not done:
+    # the packed matrix (the expensive artifact) and the response are
+    # resumable independently: a crash between the two must not force a
+    # 25 GB rebuild
+    if not packed_done:
         import time
 
         t0 = time.time()
@@ -81,10 +84,20 @@ def ensure(seed=11, chunk_rows=20_000, verbose=True):
         mm.flush()
         del mm
         os.replace(PACKED_PATH + ".tmp", PACKED_PATH)
+        if verbose:
+            print(f"  packed memmap built in {time.time()-t0:.0f}s",
+                  flush=True)
 
-        # response from 60 causal SNPs
+    if not os.path.exists(Y_PATH):
+        import time
+
+        t0 = time.time()
+        # response from 60 causal SNPs; the causal draw must be
+        # reproducible WITHOUT replaying the packed synthesis RNG, so it
+        # uses its own fixed stream
         from adelie_tpu.matrix._snp import unpack_2bit_np
 
+        rng = np.random.default_rng(seed + 1)
         packed = np.memmap(PACKED_PATH, np.uint8, "r", shape=(P, NB))
         causal = np.sort(rng.choice(P, 60, replace=False))
         cols = unpack_2bit_np(np.ascontiguousarray(packed[causal]), N)
