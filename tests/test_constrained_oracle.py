@@ -81,7 +81,8 @@ def _make_constraints(kind, rng):
 
 
 def _check_against_oracle(state, X, y, specs, groups, loss, alpha,
-                          lmda_idx, *, atol=1e-6, obj_rtol=1e-7):
+                          lmda_idx, *, atol=1e-6, obj_rtol=1e-7,
+                          intercept=True, oracle_kw=None):
     w = np.full(N, 1.0 / N)
     penalty = np.sqrt(np.full(G, Q, float))
     group_sizes = np.full(G, Q, int)
@@ -90,9 +91,11 @@ def _check_against_oracle(state, X, y, specs, groups, loss, alpha,
         lmda = float(state.lmdas[li])
         beta_o, b0_o = solve_constrained_oracle(
             X, y, w, lmda, alpha, penalty, groups, group_sizes, specs,
-            loss=loss, intercept=True, x0=B[li],
+            loss=loss, intercept=intercept, x0=B[li],
+            **(oracle_kw or {}),
         )
-        ours, b0_ours = B[li], float(state.intercepts[li])
+        ours = B[li]
+        b0_ours = float(state.intercepts[li]) if intercept else 0.0
         if np.allclose(ours, beta_o, atol=atol) and \
                 np.isclose(b0_ours, b0_o, atol=atol):
             continue
@@ -143,3 +146,196 @@ def test_constrained_elastic_net_vs_independent_oracle(loss):
     assert state.error == "", state.error
     idx = [1, len(state.lmdas) - 1]
     _check_against_oracle(state, X, y, specs, groups, loss, 0.7, idx)
+
+
+# --------------------------------------------------------------------------- #
+# r5 (VERDICT r4 #5): poisson, cox, multinomial — every GLM family the        #
+# reference certifies against MOSEK (reference tests/test_solver.py:912-1052) #
+# --------------------------------------------------------------------------- #
+
+def _poisson_problem(seed):
+    rng = np.random.default_rng(seed)
+    p = G * Q
+    X = rng.standard_normal((N, p)) / np.sqrt(Q)
+    beta_true = np.zeros(p)
+    beta_true[:2 * Q] = 0.4 * rng.standard_normal(2 * Q)
+    mu = np.exp(X @ beta_true + 0.3)
+    y = rng.poisson(mu).astype(float)
+    return X, y, np.arange(0, p, Q)
+
+
+@pytest.mark.parametrize("kind", ["box", "linear"])
+def test_constrained_poisson_vs_independent_oracle(kind):
+    X, y, groups = _poisson_problem(17)
+    cons, specs = _make_constraints(kind, np.random.default_rng(29))
+    state = ad.grpnet(
+        X, ad.glm.poisson(y), groups=groups, constraints=cons,
+        lmda_path_size=8, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) // 2, len(state.lmdas) - 1]
+    _check_against_oracle(state, X, y, specs, groups, "poisson", 1.0, idx)
+
+
+def test_unconstrained_poisson_vs_independent_oracle():
+    X, y, groups = _poisson_problem(19)
+    specs = [None] * G
+    state = ad.grpnet(
+        X, ad.glm.poisson(y), groups=groups,
+        lmda_path_size=8, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) - 1]
+    _check_against_oracle(state, X, y, specs, groups, "poisson", 1.0, idx)
+
+
+def _cox_problem(seed, ties):
+    rng = np.random.default_rng(seed)
+    p = G * Q
+    X = rng.standard_normal((N, p)) / np.sqrt(Q)
+    beta_true = np.zeros(p)
+    beta_true[:2 * Q] = 0.5 * rng.standard_normal(2 * Q)
+    lam = np.exp(X @ beta_true)
+    stop = rng.exponential(1.0 / lam)
+    if ties:                       # coarse rounding forces tied deaths
+        stop = np.ceil(stop * 4) / 4
+    status = (rng.uniform(size=N) < 0.75).astype(float)
+    return X, stop, status, np.arange(0, p, Q)
+
+
+# NOTE on scope: each distinct (data, constraint-shape) combination
+# bakes a fresh XLA compile of the fused constrained-cox chunk step
+# (~minutes on a low-core CI host, then persistent-cache-cheap), so the
+# cox matrix is deliberately TWO fits sharing one dataset: box-constrained
+# with tied deaths (efron correction live) + unconstrained on the same
+# data.  The efron/no-ties split is covered at unit level against finite
+# differences and glm.cox in the oracle itself.
+def test_constrained_cox_vs_independent_oracle():
+    X, stop, status, groups = _cox_problem(23, ties=True)
+    cons, specs = _make_constraints("box", np.random.default_rng(31))
+    state = ad.grpnet(
+        X, ad.glm.cox(stop=stop, status=status), groups=groups,
+        constraints=cons, intercept=False,
+        lmda_path_size=6, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) // 2, len(state.lmdas) - 1]
+    _check_against_oracle(
+        state, X, stop, specs, groups, ("cox", np.full(N, -np.inf), stop,
+                                       status), 1.0, idx, intercept=False,
+        oracle_kw=dict(gtol=1e-11, xtol=1e-13, maxiter=3000))
+
+
+def test_unconstrained_cox_vs_independent_oracle():
+    X, stop, status, groups = _cox_problem(23, ties=True)
+    specs = [None] * G
+    state = ad.grpnet(
+        X, ad.glm.cox(stop=stop, status=status), groups=groups,
+        intercept=False,
+        lmda_path_size=6, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) - 1]
+    _check_against_oracle(
+        state, X, stop, specs, groups, ("cox", np.full(N, -np.inf), stop,
+                                       status), 1.0, idx, intercept=False,
+        oracle_kw=dict(gtol=1e-11, xtol=1e-13, maxiter=3000))
+
+
+def _multinomial_problem(seed, K=3):
+    rng = np.random.default_rng(seed)
+    p = G * Q
+    X = rng.standard_normal((N, p)) / np.sqrt(Q)
+    B = np.zeros((p, K))
+    B[:2 * Q] = 0.8 * rng.standard_normal((2 * Q, K))
+    logits = X @ B
+    P = np.exp(logits - logits.max(1, keepdims=True))
+    P /= P.sum(1, keepdims=True)
+    yi = np.array([rng.choice(K, p=P[i]) for i in range(N)])
+    Y = np.eye(K)[yi]
+    return X, Y, np.arange(0, p, Q)
+
+
+def _check_multi_against_oracle(state, X, Y, specs, groups, alpha, lmda_idx,
+                                *, atol=1e-6, obj_rtol=1e-7):
+    from oracle_constrained import (
+        objective_constrained_multi, solve_constrained_oracle_multi)
+
+    K = Y.shape[1]
+    w = np.full(N, 1.0 / N)
+    penalty = np.sqrt(np.full(G, Q * K, float))
+    group_sizes = np.full(G, Q, int)
+    # state.betas rows are the flattened (p*K,) coefficient vectors
+    Bflat = np.asarray(state.betas.todense())
+    for li in lmda_idx:
+        lmda = float(state.lmdas[li])
+        B_o, b0_o = solve_constrained_oracle_multi(
+            X, Y, w, lmda, alpha, penalty, groups, group_sizes, specs,
+            intercept=True, x0=Bflat[li],
+        )
+        ours = Bflat[li].reshape(-1, K)
+        b0_ours = np.asarray(state.intercepts[li])
+        # softmax intercepts are shift-invariant: compare centered
+        if np.allclose(ours, B_o, atol=atol) and np.allclose(
+                b0_ours - b0_ours.mean(), b0_o - b0_o.mean(), atol=atol):
+            continue
+        obj_ours = objective_constrained_multi(
+            X, Y, w, lmda, alpha, penalty, groups, group_sizes,
+            ours, b0_ours)
+        obj_orac = objective_constrained_multi(
+            X, Y, w, lmda, alpha, penalty, groups, group_sizes, B_o, b0_o)
+        viol = max_constraint_violation(
+            specs, [g * K for g in groups], np.full(G, Q * K, int),
+            Bflat[li])
+        # (p*K)-dim flattened blocks carry slightly more PN/ADMM primal
+        # feasibility slack than the scalar-GLM Q-dim blocks (measured
+        # 1.08e-8 at the last lambda); gate at 5e-8, still ~tolerance-scale
+        assert viol < 5e-8, (li, viol)
+        assert obj_ours <= obj_orac * (1 + obj_rtol) + 1e-14, (
+            li, obj_ours, obj_orac, np.abs(ours - B_o).max())
+
+
+def _make_multi_constraints(rng, K=3):
+    """Box constraints on the odd feature groups' flattened (Q*K) blocks."""
+    cons, specs = [], []
+    tight = {"tol": 1e-12, "max_iters": 20000}
+    for g in range(G):
+        if g % 2 == 0:
+            cons.append(None)
+            specs.append(None)
+            continue
+        lo = -0.3 * (1 + rng.uniform(size=Q * K))
+        hi = 0.25 * (1 + rng.uniform(size=Q * K))
+        cons.append(ct.box(lo, hi, configs=tight))
+        specs.append(("box", lo, hi))
+    return cons, specs
+
+
+def test_constrained_multinomial_vs_independent_oracle():
+    X, Y, groups = _multinomial_problem(41)
+    cons, specs = _make_multi_constraints(np.random.default_rng(43))
+    state = ad.grpnet(
+        X, ad.glm.multinomial(Y), groups=groups, constraints=cons,
+        lmda_path_size=6, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) - 1]
+    _check_multi_against_oracle(state, X, Y, specs, groups, 1.0, idx)
+
+
+def test_unconstrained_multinomial_vs_independent_oracle():
+    X, Y, groups = _multinomial_problem(47)
+    specs = [None] * G
+    state = ad.grpnet(
+        X, ad.glm.multinomial(Y), groups=groups,
+        lmda_path_size=6, min_ratio=0.05, tol=1e-10, irls_tol=1e-12,
+        progress_bar=False, early_exit=False,
+    )
+    assert state.error == "", state.error
+    idx = [1, len(state.lmdas) - 1]
+    _check_multi_against_oracle(state, X, Y, specs, groups, 1.0, idx)
