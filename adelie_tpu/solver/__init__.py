@@ -61,6 +61,7 @@ def grpnet(
     pivot_subset_ratio: float = 0.1,
     pivot_subset_min: int = 1,
     pivot_slack_ratio: float = 1.25,
+    screen_cap_active_mult: float = None,
     check_state: bool = False,
     progress_bar: bool = False,
     warm_start=None,
@@ -129,6 +130,7 @@ def grpnet(
                 pivot_subset_ratio=pivot_subset_ratio,
                 pivot_subset_min=pivot_subset_min,
                 pivot_slack_ratio=pivot_slack_ratio,
+                screen_cap_active_mult=screen_cap_active_mult,
             ),
             progress_bar=progress_bar, exit_cond=exit_cond,
         )
@@ -152,6 +154,8 @@ def grpnet(
         pivot_subset_ratio=float(pivot_subset_ratio),
         pivot_subset_min=int(pivot_subset_min),
         pivot_slack_ratio=float(pivot_slack_ratio),
+        screen_cap_active_mult=(None if screen_cap_active_mult is None
+                                else float(screen_cap_active_mult)),
         screen_rule=screen_rule, lmda_path=lmda_path,
         setup_lmda_path=lmda_path is None,
     )

@@ -124,13 +124,32 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
             ws = weights[order[G - subset_size:]]
             pivot_idx, _ = search_pivot(np.arange(subset_size, dtype=float), ws)
             full_pivot_idx = G - subset_size + pivot_idx
+            # Correlated-design guard (r5, VERDICT r4 #2): on LD-structured
+            # designs thousands of near-duplicate groups ride just above
+            # the pivot (measured on the EUR surrogate: one call grew the
+            # screen set 97 -> 10,268 for 279 final actives), and fit cost
+            # is O(S^2) in Gram + sweep slots.  Cap the per-call SPECULATIVE
+            # admissions at ``screen_cap_active_mult x active-ish count``,
+            # keeping the highest-weight candidates.  Pure speculation
+            # control: true KKT violators are force-admitted on retry below
+            # (a cap here cannot starve them), so correctness/termination
+            # are unchanged — at worst the path pays extra KKT retries.
+            cap = G
+            if state.screen_cap_active_mult is not None:
+                n_active = int(np.sum(state.screen_is_active)) \
+                    if state.screen_is_active is not None else 0
+                cap = int(state.screen_cap_active_mult
+                          * max(n_active + n_new_active, 16))
             for ii in range(G - 1, full_pivot_idx - 1, -1):
+                if len(new) >= cap:
+                    break
                 i = int(order[ii])
                 if i not in screen_hash:
                     new.append(i)
             count = 0
             for ii in range(full_pivot_idx - 1, -1, -1):
-                if count >= state.pivot_slack_ratio * n_new_active:
+                if count >= state.pivot_slack_ratio * n_new_active \
+                        or len(new) >= cap:
                     break
                 i = int(order[ii])
                 if i in screen_hash:
@@ -138,15 +157,39 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
                 new.append(i)
                 count += 1
         if not all_kkt_passed:
+            # force-admit every violator at the failing lambda: with the
+            # speculative cap above, the clipped weights tie at alpha*lmda
+            # and a capped top-weight pass could otherwise exclude the same
+            # violator forever (retry livelock)
+            for i in np.nonzero(
+                    abs_grad > lmda_fallback * penalty * alpha)[0]:
+                if int(i) not in screen_hash and int(i) not in new:
+                    new.append(int(i))
             if chunk_size > 1:
                 # chunk retry: union in the strong-rule set at the geometric
                 # midpoint of the failing chunk — covers several more lambdas
-                # per retry without the full chunk-end strong set's size
+                # per retry without the full chunk-end strong set's size.
+                # This union is speculative too: under the correlated-design
+                # cap, admit its candidates largest-abs_grad-first up to the
+                # cap (violators above are exempt and already in)
                 lmda_mid = np.sqrt(lmda_fallback * max(lmda_next, 1e-300))
                 thresh = (2 * lmda_mid - min(lmda, 1e300)) * alpha * penalty
-                for i in np.nonzero(abs_grad > thresh)[0]:
+                cand = np.nonzero(abs_grad > thresh)[0]
+                if state.screen_cap_active_mult is not None:
+                    cand = cand[np.argsort(-abs_grad[cand], kind="stable")]
+                    n_active = int(np.sum(state.screen_is_active)) \
+                        if state.screen_is_active is not None else 0
+                    spec_cap = int(state.screen_cap_active_mult
+                                   * max(n_active + n_new_active, 16))
+                else:
+                    spec_cap = G
+                n_spec = 0
+                for i in cand:
+                    if n_spec >= spec_cap:
+                        break
                     if int(i) not in screen_hash and int(i) not in new:
                         new.append(int(i))
+                        n_spec += 1
             if len(new) == 0:
                 # safe fallback: add all KKT violators (reference :366-373)
                 for i in np.nonzero(abs_grad > lmda_fallback * penalty * alpha)[0]:

@@ -354,6 +354,10 @@ class NaiveStateBase:
     pivot_subset_ratio: float = 0.1
     pivot_subset_min: int = 1
     pivot_slack_ratio: float = 1.25
+    # cap per-call SPECULATIVE pivot admissions at this multiple of the
+    # active-ish count (None = uncapped reference behavior); see
+    # solver/basil.py screen() correlated-design guard
+    screen_cap_active_mult: float = None
     screen_rule: str = "pivot"
     setup_lmda_max: bool = True
     setup_lmda_path: bool = True

@@ -333,8 +333,12 @@ def config4_eur_snp_group_lasso(workdir="/tmp/eur_surrogate",
     yf = np.asarray(y, dtype)
 
     def fit():
+        # screen_cap_active_mult: LD-structured designs push ~10k groups
+        # above the pivot for ~280 final actives (r5 cap study,
+        # /tmp/eur_cap_study: 10268 -> 3129 slots, 3.5x faster, same
+        # KKT-certified path); see solver/basil.py screen()
         return ad.grpnet(X, ad.glm.gaussian(yf), penalty=penalty,
-                         progress_bar=False)
+                         progress_bar=False, screen_cap_active_mult=3.0)
 
     t0 = time.perf_counter(); st = fit(); cold = time.perf_counter() - t0
     t0 = time.perf_counter(); st = fit(); warm = time.perf_counter() - t0
