@@ -90,15 +90,9 @@ class Configs:
     # drivers (reference-style always-on state audits; costs host time
     # at each chunk boundary).  Debug aid for north-star-scale runs.
     debug_check_state: bool = False
-    # Whole-solve Pallas kernel for GROUPED (1 < q <= 8) pin solves; the
-    # lasso (q == 1) kernel is unconditional.  Default False: measured
-    # 0.8x the XLA fori_loop path on v5e (BENCH_r04 grouped_pin,
-    # n=20k G=128 q=4: pallas 8.11 ms vs xla 6.89 ms per full solve —
-    # the q-sized eigenbasis rotations vectorize well enough under XLA
-    # that the kernel's VMEM residency doesn't pay).  bench.py's
-    # grouped_pin block toggles this (with a retrace) to re-compare on
-    # hardware each round.
-    pin_grouped_pallas: bool = False
+    # (the grouped-pin Pallas flag that lived here was removed in r5
+    # along with its kernel: 0.6-0.8x the XLA loop in two rounds of
+    # fixed-methodology A/Bs; see solver/pin_pallas.py tombstone)
 
 
 _default = Configs()

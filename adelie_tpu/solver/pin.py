@@ -471,7 +471,7 @@ def pin_cov_solve(
     dtype = beta.dtype
     # Pallas fast paths: the whole solve as ONE kernel with all state
     # VMEM-resident (pin_pallas.py); trace-time dispatch, TPU only
-    from .pin_pallas import MAX_PALLAS_Q, MAX_PALLAS_S
+    from .pin_pallas import MAX_PALLAS_S
 
     if (
         eigvals.shape[1] == 1
@@ -483,22 +483,9 @@ def pin_cov_solve(
             A, grad, beta, slot_begin, slot_size, eigvals, penalty,
             is_active, lmda, alpha, tol, dbeta_tol, max_iters, rsq,
         )
-    from ..configs import configs as _cfg
-
-    if (
-        _cfg.pin_grouped_pallas   # measured 0.8x the XLA loop on v5e
-        and 1 < eigvals.shape[1] <= MAX_PALLAS_Q
-        and A.shape[0] <= MAX_PALLAS_S
-        and A.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-    ):
-        from .pin_pallas import pin_group_solve_pallas
-
-        return pin_group_solve_pallas(
-            A, grad, beta, slot_begin, slot_size, eigvals, eigvecs, penalty,
-            is_active, lmda, alpha, tol, dbeta_tol, newton_tol,
-            max_iters.astype(A.dtype), rsq,
-        )
+    # grouped (q > 1) solves stay on the XLA loop below: the whole-solve
+    # grouped Pallas kernel was removed in r5 after measuring 0.6-0.8x the
+    # XLA loop on v5e twice (see pin_pallas.py tombstone note)
 
     l1 = lmda * alpha
     l2 = lmda * (1.0 - alpha)

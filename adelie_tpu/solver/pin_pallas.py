@@ -26,8 +26,6 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM budget: A is (S, S) f32; 1024^2 * 4 = 4 MB, leaving room for the
 # dozen (1, S) state rows and double buffering.
 MAX_PALLAS_S = 1024
-# grouped kernel: per-group eigenbasis data adds G*qmax*(qmax+1) floats
-MAX_PALLAS_Q = 8
 
 
 def _pin_kernel(
@@ -167,315 +165,18 @@ def _pin_kernel(
                       & (convg == convg)).astype(jnp.int32)
 
 
-def _newton_abs_block(lam, v_t, l1p, l2p, newton_tol, qmax):
-    """Branchless newton_abs block update in the eigenbasis (bcd.py
-    newton_solver math, reference bcd/unconstrained/newton.hpp:213-260),
-    with the while_loops replaced by freeze-on-converge fori_loops (phi is
-    convex decreasing; guarded Newton from the left converges
-    quadratically, so the fixed budgets are generous).
-
-    Padded lanes must have lam == 0 and v_t == 0.  Returns x_t (qmax,).
-    """
-    dtype = v_t.dtype
-    eps = jnp.asarray(1.1920929e-07, dtype)
-    tiny = jnp.asarray(1e-30, dtype)
-    buf1 = lam + l2p
-    v_norm = jnp.sqrt(jnp.sum(v_t * v_t))
-    tol_n = jnp.maximum(newton_tol, 8.0 * eps)
-
-    # ---- root bounds (bcd/utils.hpp root_lower/upper_bound) ----
-    bq = l1p * jnp.sum(buf1)
-    aq = jnp.sum(buf1 * buf1)
-    v_l1 = jnp.sum(jnp.abs(v_t))
-    nlanes = jnp.maximum(jnp.sum((v_t != 0).astype(dtype)), 1.0)
-    cq = l1p * l1p * nlanes - v_l1 * v_l1
-    discr = bq * bq - aq * cq
-    h_min = jnp.where(
-        discr > -1e-12,
-        (-bq + jnp.sqrt(jnp.maximum(discr, 0.0))) / jnp.maximum(aq, tiny),
-        0.0,
-    )
-    h_min = jnp.maximum(h_min, 0.0)
-    is_nonzero = buf1 > 1e-14
-    safe = jnp.where(is_nonzero, buf1, 1.0)
-    vi2 = v_t * v_t
-    h_mx = jnp.sum(jnp.where(is_nonzero, vi2 / (safe * safe), 0.0))
-    v_S = jnp.sum(jnp.where(buf1 <= 0, vi2, 0.0))
-    denom0 = 1.0 - v_S / jnp.maximum(l1p * l1p, tiny)
-    h_max = jnp.sqrt(jnp.maximum(
-        h_mx / jnp.where(denom0 > 0, denom0, 1.0), 0.0))
-    min_nnz = jnp.min(jnp.where(is_nonzero, buf1, jnp.asarray(1e30, dtype)))
-    min_nnz = jnp.where(min_nnz >= 1e30, 1.0, min_nnz)
-
-    def phi(h):
-        inv = 1.0 / jnp.maximum(buf1 * h + l1p, tiny)
-        sq = vi2 * inv * inv
-        return jnp.sum(sq) - 1.0, sq, inv
-
-    # ---- adaptive-bisection init: walk from h_max toward h_min until
-    # phi >= 0 so Newton starts left of the root (newton.hpp:213-260) ----
-    h0 = jnp.maximum(h_max, h_min)
-    w0 = jnp.maximum(l1p / jnp.maximum(min_nnz * h0 + l1p, tiny), 0.05)
-    h1 = w0 * h_min + (1 - w0) * h0
-    f1 = phi(h1)[0]
-
-    def ada_body(_, carry):
-        h_c, fh = carry
-        go = (fh < 0) & (jnp.abs(fh) > tol_n)
-        w = jnp.maximum(l1p / jnp.maximum(min_nnz * h_c + l1p, tiny), 0.05)
-        h_n = jnp.where(go, w * h_min + (1 - w) * h_c, h_c)
-        f_n = jnp.where(go, phi(h_n)[0], fh)
-        return h_n, f_n
-
-    h_ada, _ = jax.lax.fori_loop(0, 24, ada_body, (h1, f1))
-    small_range = (h_max - h_min) <= 1e-1
-    h = jnp.where(small_range, h_min, h_ada)
-
-    # ---- guarded Newton, frozen once |phi| <= tol (newton.hpp step_f) ----
-    def newton_body(_, carry):
-        h, fh, dfh = carry
-        go = jnp.abs(fh) > tol_n
-        h_n = jnp.maximum(h - fh / jnp.where(dfh != 0, dfh, -1.0), 0.0)
-        fh_n, sq, inv = phi(h_n)
-        t = fh_n + 1.0
-        dfh_n = (-jnp.sum(sq * buf1 * inv)
-                 * (1 + jnp.sqrt(jnp.maximum(t, 0.0)))
-                 / jnp.maximum(t, tiny))
-        return (jnp.where(go, h_n, h), jnp.where(go, fh_n, fh),
-                jnp.where(go, dfh_n, dfh))
-
-    fh0, sq0, inv0 = phi(h)
-    t0 = fh0 + 1.0
-    dfh0 = (-jnp.sum(sq0 * buf1 * inv0)
-            * (1 + jnp.sqrt(jnp.maximum(t0, 0.0))) / jnp.maximum(t0, tiny))
-    h, _, _ = jax.lax.fori_loop(0, 40, newton_body, (h, fh0, dfh0))
-
-    x_gen = h * v_t / jnp.maximum(buf1 * h + l1p, tiny)
-    x_ridge = jnp.where(v_t != 0, v_t / jnp.where(buf1 != 0, buf1, 1.0), 0.0)
-    return jnp.where(
-        v_norm <= l1p,
-        jnp.zeros_like(v_t),
-        jnp.where(l1p <= 0, x_ridge, x_gen),
-    )
-
-
-def _pin_group_kernel(
-    A_ref,            # (S, S) VMEM
-    eigval_ref,       # (G, qmax) VMEM
-    eigvec_ref,       # (G*qmax, qmax) VMEM (row blocks per group)
-    grad0_ref,        # (1, S) VMEM
-    beta0_ref,        # (1, S) VMEM
-    active0_ref,      # (1, G) VMEM f32 0/1
-    slot_begin_ref,   # (1, G) SMEM int32
-    slot_size_ref,    # (1, G) SMEM int32
-    penalty_ref,      # (1, G) SMEM f32
-    scal_ref,         # (1, 8) SMEM: l1, l2, tol, dbeta_tol, rsq0, max_iters,
-                      #              newton_tol
-    beta_out,         # (1, S)
-    grad_out,         # (1, S)
-    active_out,       # (1, G)
-    rsq_out,          # (1, 1) SMEM
-    iters_out,        # (1, 1) SMEM
-    done_out,         # (1, 1) SMEM
-):
-    """Whole grouped pin solve in one kernel (the qmax > 1 analog of
-    _pin_kernel): Gauss-Seidel over groups with per-group eigenbasis
-    rotation + newton_abs root find, all state VMEM-resident.
-
-    Group extraction/scatter uses onehot row-selection (col_ids == b + lane)
-    instead of dynamic lane slices (Mosaic has no dynamic lane offsets);
-    the A rows of a group are read as qmax single-row dynamic sublane
-    slices, the same proven pattern as the lasso kernel.
-    """
-    S = A_ref.shape[0]
-    G, qmax = eigval_ref.shape
-    l1 = scal_ref[0, 0]
-    l2 = scal_ref[0, 1]
-    tol = scal_ref[0, 2]
-    dbeta_tol = scal_ref[0, 3]
-    rsq0 = scal_ref[0, 4]
-    max_iters = scal_ref[0, 5].astype(jnp.int32)
-    newton_tol = scal_ref[0, 6]
-
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (qmax, S), 1)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (qmax, S), 0)
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (1, qmax), 1)
-    gid_row = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-
-    eps = jnp.asarray(1.1920929e-07, jnp.float32)
-    lam_cap = jnp.maximum(jnp.max(jnp.abs(eigval_ref[:])), 1.0)
-    tol_f = jnp.maximum(tol, 100.0 * lam_cap * (10.0 * eps) ** 2)
-    stall_floor = 1e8 * lam_cap * eps * eps
-
-    def group_update(i, beta, grad, activeg, rsq, convg, active_only):
-        b = slot_begin_ref[0, i]
-        q = slot_size_ref[0, i]
-        pk = penalty_ref[0, i]
-        onehot_g = (gid_row == i).astype(jnp.float32)      # (1, G)
-        a_i = jnp.sum(activeg * onehot_g)
-        valid = (q > 0).astype(jnp.float32)
-        process = valid * jnp.maximum(a_i, 1.0 - active_only)
-
-        qf = jnp.maximum(q.astype(jnp.float32), 1.0)
-        sel = (col_ids == b + lane_ids).astype(jnp.float32)  # (qmax, S)
-        lane_mask = (lane_col < q).astype(jnp.float32)[0]    # (qmax,)
-        sel = sel * lane_mask[:, None]
-        beta_g = jnp.sum(sel * beta, axis=1)                 # (qmax,)
-        grad_g = jnp.sum(sel * grad, axis=1)
-
-        V = eigvec_ref[pl.ds(i * qmax, qmax), :]             # (qmax, qmax)
-        lam = eigval_ref[pl.ds(i, 1), :][0]                  # (qmax,)
-        beta_t = jnp.sum(V * beta_g[:, None], axis=0)        # V.T @ beta_g
-        g_t = jnp.sum(V * grad_g[:, None], axis=0)
-        v_t = g_t + lam * beta_t
-
-        x_t = _newton_abs_block(lam, v_t, l1 * pk, l2 * pk, newton_tol, qmax)
-        d_t = x_t - beta_t
-        dnorm2 = jnp.sum(d_t * d_t)
-        thresh = jnp.where(q > 1, dbeta_tol * dbeta_tol * qf, 0.0)
-        app = process * (dnorm2 > thresh).astype(jnp.float32)
-
-        convg = jnp.maximum(convg, app * jnp.sum(lam * d_t * d_t) / qf)
-        rsq = rsq + app * jnp.sum(d_t * (2.0 * g_t - d_t * lam))
-        beta_new_g = jnp.sum(V * x_t[None, :], axis=1)       # V @ x_t
-        dbeta_g = app * (beta_new_g - beta_g) * lane_mask    # (qmax,)
-        beta = beta + jnp.sum(dbeta_g[:, None] * sel, axis=0, keepdims=True)
-        # A rows of the group: qmax single-row dynamic slices
-        dgrad = jnp.zeros((1, S), jnp.float32)
-        for j in range(qmax):
-            dgrad = dgrad + dbeta_g[j] * A_ref[pl.ds(b + j, 1), :]
-        grad = grad - dgrad
-        activeg = jnp.maximum(activeg, app * onehot_g)
-        return beta, grad, activeg, rsq, convg
-
-    def sweep(beta, grad, activeg, rsq, active_only):
-        def body(i, carry):
-            beta, grad, activeg, rsq, convg = carry
-            return group_update(i, beta, grad, activeg, rsq, convg,
-                                active_only)
-
-        return jax.lax.fori_loop(
-            0, G, body,
-            (beta, grad, activeg, rsq, jnp.zeros((), jnp.float32)),
-        )
-
-    def _slow_count(slow, convg, prev):
-        return jnp.where(convg >= 0.99 * prev, slow + 1,
-                         jnp.zeros((), jnp.int32))
-
-    def _is_stalled(slow, convg):
-        return (slow >= 3) & (convg <= stall_floor)
-
-    def active_phase(beta, grad, activeg, rsq, iters):
-        beta, grad, activeg, rsq, convg = sweep(beta, grad, activeg, rsq, 1.0)
-
-        def cond(c):
-            _, _, _, _, convg, slow, it = c
-            return ((convg >= tol_f) & (it < max_iters)
-                    & jnp.logical_not(_is_stalled(slow, convg)))
-
-        def body(c):
-            beta, grad, activeg, rsq, prev, slow, it = c
-            beta, grad, activeg, rsq, convg = sweep(
-                beta, grad, activeg, rsq, 1.0
-            )
-            return (beta, grad, activeg, rsq, convg,
-                    _slow_count(slow, convg, prev), it + 1)
-
-        beta, grad, activeg, rsq, convg, _, iters = jax.lax.while_loop(
-            cond, body,
-            (beta, grad, activeg, rsq, convg,
-             jnp.zeros((), jnp.int32), iters + 1),
-        )
-        return beta, grad, activeg, rsq, iters
-
-    def outer_cond(c):
-        _, _, _, _, convg, slow, it, done = c
-        nan_stop = jnp.logical_not(convg == convg)
-        return (jnp.logical_not(done) & (it < max_iters)
-                & jnp.logical_not(_is_stalled(slow, convg))
-                & jnp.logical_not(nan_stop))
-
-    def outer_body(c):
-        beta, grad, activeg, rsq, prev, slow, it, _ = c
-        beta, grad, activeg, rsq, it = active_phase(
-            beta, grad, activeg, rsq, it
-        )
-        beta, grad, activeg, rsq, convg = sweep(beta, grad, activeg, rsq, 0.0)
-        return (beta, grad, activeg, rsq, convg,
-                _slow_count(slow, convg, prev), it + 1, convg < tol_f)
-
-    beta, grad, activeg, rsq, convg, slow, iters, done = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (beta0_ref[:], grad0_ref[:], active0_ref[:],
-         rsq0, jnp.asarray(jnp.inf, jnp.float32),
-         jnp.zeros((), jnp.int32),
-         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_)),
-    )
-
-    beta_out[:] = beta
-    grad_out[:] = grad
-    active_out[:] = activeg
-    rsq_out[0, 0] = rsq
-    iters_out[0, 0] = iters
-    done_out[0, 0] = ((done | _is_stalled(slow, convg))
-                      & (convg == convg)).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pin_group_solve_pallas(
-    A, grad, beta, slot_begin, slot_size, eigvals, eigvecs, penalty,
-    is_active, lmda, alpha, tol, dbeta_tol, newton_tol, max_iters, rsq,
-    interpret: bool = False,
-):
-    """Grouped pin solve as one Pallas kernel.
-
-    Same contract as pin.pin_cov_solve for qmax > 1: returns
-    (beta, grad, is_active_groups, rsq, iters, done).
-    """
-    S = A.shape[0]
-    G, qmax = eigvals.shape
-    dtype = A.dtype
-    l1 = (lmda * alpha).astype(dtype)
-    l2 = (lmda * (1.0 - alpha)).astype(dtype)
-    scal = jnp.stack([
-        l1, l2, tol.astype(dtype), dbeta_tol.astype(dtype),
-        rsq.astype(dtype), max_iters.astype(dtype),
-        newton_tol.astype(dtype), jnp.zeros((), dtype),
-    ]).reshape(1, 8)
-
-    out_shapes = (
-        jax.ShapeDtypeStruct((1, S), dtype),     # beta
-        jax.ShapeDtypeStruct((1, S), dtype),     # grad
-        jax.ShapeDtypeStruct((1, G), dtype),     # active (group-level)
-        jax.ShapeDtypeStruct((1, 1), dtype),     # rsq
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
-    )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    beta2, grad2, active2, rsq2, iters2, done2 = pl.pallas_call(
-        _pin_group_kernel,
-        out_shape=out_shapes,
-        in_specs=[vmem] * 6 + [smem] * 4,
-        out_specs=(vmem, vmem, vmem, smem, smem, smem),
-        interpret=interpret,
-    )(
-        A,
-        eigvals.astype(dtype),
-        eigvecs.reshape(G * qmax, qmax).astype(dtype),
-        grad.reshape(1, S).astype(dtype),
-        beta.reshape(1, S).astype(dtype),
-        is_active.reshape(1, G).astype(dtype),
-        slot_begin.reshape(1, G).astype(jnp.int32),
-        slot_size.reshape(1, G).astype(jnp.int32),
-        penalty.reshape(1, G).astype(dtype),
-        scal,
-    )
-    return (
-        beta2[0], grad2[0], active2[0] != 0, rsq2[0, 0],
-        iters2[0, 0], done2[0, 0] != 0,
-    )
+# --------------------------------------------------------------------------- #
+# NOTE (r5): the grouped (qmax > 1) whole-solve kernel that lived here
+# (_newton_abs_block / _pin_group_kernel / pin_group_solve_pallas) was
+# REMOVED after losing its fixed-methodology A/B twice on v5e
+# (BENCH_r04.grouped_pin pallas_speedup 0.6, BENCH_r4_inround 0.8): a
+# Gauss-Seidel pass over eigenbasis group solves is serial per group and
+# gains nothing over the XLA fori_loop it duplicated, unlike the q = 1
+# row-DMA sweep kernel below which wins 20x by keeping the Gram in HBM
+# and hiding the row fetch behind a depth-3 prefetch.  Grouped (q > 1)
+# pin solves use the XLA loop path (solver/pin.py pin_cov_solve).
+# Removed in r5 per VERDICT r4 #8; see git history for the kernel.
+# --------------------------------------------------------------------------- #
 
 
 def _cd_sweep_rows_kernel(

@@ -291,77 +291,18 @@ def _sparse_bench():
 
 
 def _grouped_pin_bench():
-    """Grouped (q>1) pin solve: whole-solve Pallas kernel vs the XLA
-    fori_loop CD path on the same problem (VERDICT r2 #7)."""
-    import jax
-    import jax.numpy as jnp
-
-    from adelie_tpu.solver import pin as pin_mod
-    from adelie_tpu.solver.pin import screen_gram
-
-    if jax.default_backend() != "tpu":
-        return {"skipped": "pallas kernel needs the TPU backend"}
-
-    rng = np.random.default_rng(9)
-    n, G, q = 20_000, 128, 4
-    S = G * q
-    X = rng.standard_normal((n, S)).astype(np.float32)
-    w = np.full(n, 1.0 / n, np.float32)
-    Xs = jnp.asarray(X)
-    A, _ = screen_gram(Xs, jnp.asarray(w), True)
-    # eigendecompose group blocks
-    blocks = np.stack([np.asarray(A)[g * q:(g + 1) * q, g * q:(g + 1) * q]
-                       for g in range(G)])
-    evals, evecs = np.linalg.eigh(blocks)
-    y = X[:, :q] @ rng.standard_normal(q).astype(np.float32) \
-        + rng.standard_normal(n).astype(np.float32)
-    grad = np.asarray(A) @ np.zeros(S, np.float32) + (X.T @ (w * y))
-
-    args = dict(
-        A=A, grad=jnp.asarray(grad.astype(np.float32)),
-        beta=jnp.zeros(S, jnp.float32),
-        slot_begin=jnp.asarray(np.arange(0, S, q), jnp.int32),
-        slot_size=jnp.full((G,), q, jnp.int32),
-        eigvals=jnp.asarray(evals.astype(np.float32)),
-        eigvecs=jnp.asarray(evecs.astype(np.float32)),
-        penalty=jnp.full((G,), np.sqrt(q), jnp.float32),
-        is_active=jnp.zeros(G, bool),
-        lmda=jnp.asarray(0.05 * np.abs(grad).max(), jnp.float32),
-        alpha=jnp.asarray(1.0, jnp.float32),
-        tol=jnp.asarray(1e-7, jnp.float32),
-        dbeta_tol=jnp.asarray(1e-12, jnp.float32),
-        newton_tol=jnp.asarray(1e-9, jnp.float32),
-        newton_max_iters=jnp.asarray(1000, jnp.int32),
-        max_iters=jnp.asarray(1000, jnp.int32),
-        rsq=jnp.asarray(0.0, jnp.float32),
-    )
-
-    def call():
-        return pin_mod.pin_cov_solve(**args)
-
-    from adelie_tpu.configs import set_configs
-
-    out = {"n": n, "groups": G, "q": q}
-    # the dispatch is a trace-time Python branch inside a module-level
-    # jit: toggling it without clearing the jit cache would re-time the
-    # SAME compiled executable (an earlier version of this block did
-    # exactly that; its "comparison" was reps noise)
-    try:
-        set_configs("pin_grouped_pallas", True)
-        pin_mod.pin_cov_solve.clear_cache()
-        t = _timeit(lambda: call(), reps=20)
-        r = call()
-        out["pallas_full_solve_ms"] = round(t * 1e3, 3)
-        out["sweeps"] = int(np.asarray(jax.device_get(r[4])))
-        set_configs("pin_grouped_pallas", False)
-        pin_mod.pin_cov_solve.clear_cache()
-        t2 = _timeit(lambda: call(), reps=20)
-        out["xla_loop_full_solve_ms"] = round(t2 * 1e3, 3)
-        out["pallas_speedup"] = round(t2 / t, 2)
-    finally:
-        set_configs("pin_grouped_pallas", None)
-        pin_mod.pin_cov_solve.clear_cache()
-    return out
+    """Tombstone (r5, VERDICT r4 #8): the grouped (q>1) whole-solve Pallas
+    kernel was REMOVED after losing its fixed-methodology A/B twice
+    (BENCH_r04.grouped_pin pallas_speedup 0.6; BENCH_r4_inround 0.8) —
+    grouped pin solves run the XLA fori_loop path.  The block now records
+    that decision instead of re-benchmarking a deleted kernel."""
+    return {
+        "removed": True,
+        "reason": ("grouped whole-solve Pallas kernel measured 0.6-0.8x "
+                   "the XLA loop on v5e in r4's fixed-methodology A/Bs; "
+                   "deleted in r5 (see solver/pin_pallas.py note). The "
+                   "q=1 row-DMA sweep kernel (20x) is unaffected."),
+    }
 
 
 def _h2d_transport_probe():
