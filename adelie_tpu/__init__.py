@@ -30,7 +30,11 @@ if not _os.environ.get("ADELIE_TPU_NO_CACHE"):
                 "jax_compilation_cache_dir",
                 _os.path.expanduser("~/.cache/adelie_tpu_xla"),
             )
-            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # 0.1 not the default 1.0: the pin/BASIL drivers compile ~19
+            # executables per fit signature and the sub-second ones
+            # (scatter, convert, broadcast glue) otherwise re-compile in
+            # every fresh process (r5 cold-start probe: 8 of 19 misses)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
             # XLA:CPU AOT results embed host CPU feature flags; reusing
             # them across machines (or sandbox feature-detection changes)
             # logs loud SIGILL warnings.  The cache win is the HLO-level

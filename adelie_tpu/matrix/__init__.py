@@ -179,7 +179,7 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
            layout: str = "auto"):
     """Sparse matrix (reference matrix.py:1301).
 
-    ``layout`` (naive only): "auto" | "dense" | "padded" | "bcoo" — see
+    ``layout`` (naive only): "auto" | "dense" | "padded" — see
     matrix/_sparse.py.  Padded CSC/CSR planes turn both products into one
     vectorized gather + lane reduction (no scatters); auto DENSIFIES
     above the measured ~0.2% density crossover when the dense array fits

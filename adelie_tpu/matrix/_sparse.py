@@ -2,37 +2,41 @@
 matrix_cov_sparse.{hpp,ipp}; factory matrix.py:1301; sparse kernels
 matrix/utils.hpp:362-1015).
 
-TPU design: XLA/TPU has no native CSR SpMV, and BCOO lowers to
-scatter/segment-sum which serializes badly on the VPU.  The TPU-first
-layout is **padded CSC/CSR**: every column (resp. row) is padded to the
-max nnz count L, giving static-shape (p, L) value/index planes.  The two
-hot products then become one vectorized gather + a lane reduction:
+TPU design verdict (r5, measured): unstructured sparse products on TPU
+are bounded by the device's dynamic-gather rate, and that bound is FAR
+below the dense stream rate — ``jnp.take`` of 4M f32 through a 50k
+vector measures 0.57 GB/s useful (0.9 sorted) vs ~650-750 GB/s for the
+dense einsum on the same shape, so beating dense at density d needs
+~d * 2 * 650 GB/s of useful sparse bandwidth (13 GB/s at d=1%): a
+15-25x gap no kernel on this hardware can close, Pallas included (the
+same VPU dynamic-addressing rate bounds in-kernel gathers).  The design
+is therefore:
 
-    mul:   out[j] = sum_l vals_c[j, l] * u[row_idx[j, l]]
-    tmul:  out[i] = sum_l vals_r[i, l] * beta[col_idx[i, l]]
+* ``dense`` above the measured crossover (~0.2% density, with margin)
+  whenever the dense array fits ``_DENSE_BYTES_MAX`` — the fast path;
+* ``padded`` CSC/CSR planes below it (static-shape (p, L) value/index
+  planes; one vectorized gather + lane reduction, no scatters) — below
+  the crossover this wins on BOTH footprint and time, and it is the
+  correctness path for matrices too big to densify;
+* the BCOO lowering that used to be the skew fallback was REMOVED in r5
+  (VERDICT r4 #7): it measured HALF the padded path's bandwidth
+  (BENCH_r04 sparse: 0.5 vs 1.0 GB/s useful) with no remaining niche —
+  extreme-skew matrices take the padded planes (memory-hungry on skew,
+  but correct) or densify when the dense array is the smaller object.
 
-— no scatters anywhere, fully batchable, and the gather feeds the VPU at
-row granularity.  Padding lanes point at index 0 with value 0 so they
-contribute nothing.  When the padding blowup is too large (max nnz >>
-mean nnz), the factory falls back to the BCOO lowering (``layout="bcoo"``)
-which trades vectorization for compactness.
-
-The host keeps scipy CSC for structural ops (screen-block densification).
+The host keeps scipy CSC for structural ops (screen-block
+densification), which is how screened fits consume sparse inputs — the
+full-matrix products above only run in the BASIL gradient/KKT passes.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
-from jax.experimental import sparse as jsparse
 
 from .base import MatrixCovBase, MatrixNaiveBase
 
 _PRECISION = jax.lax.Precision.HIGHEST
-
-# padded layout is selected automatically below this storage blowup
-# (padded elements / nnz); above it the skew makes BCOO cheaper.
-_PAD_BLOWUP_MAX = 8.0
 
 # Above this density (and below the HBM cap) "auto" DENSIFIES: measured
 # on v5e (BENCH_r04 sparse block, n=50k x p=8k at 1% density) the dense
@@ -69,18 +73,25 @@ class MatrixNaiveSparse(MatrixNaiveBase):
 
     ``layout``: ``"auto"`` (default) DENSIFIES above ~0.2% density when
     the dense array fits ~2 GB (measured crossover, see
-    ``_DENSE_DENSITY_MIN``), else picks padded planes unless the nnz
-    skew blows storage past ~8x nnz; ``"dense"`` / ``"padded"`` /
-    ``"bcoo"`` force.
+    ``_DENSE_DENSITY_MIN``); below it builds padded planes, except when
+    nnz skew makes the padded planes LARGER than the (cap-respecting)
+    dense array — then dense wins on both axes.  ``"dense"`` /
+    ``"padded"`` force.
     """
 
     def __init__(self, mat, *, dtype=None, layout: str = "auto"):
         mat = sp.csc_matrix(mat)
         if dtype is None:
             dtype = mat.dtype if mat.dtype in (np.float32, np.float64) else np.float64
-        if layout not in ("auto", "padded", "bcoo", "dense"):
+        if layout == "bcoo":
             raise ValueError(
-                f"layout must be one of ['auto', 'bcoo', 'dense', 'padded'],"
+                "layout='bcoo' was removed (r5): it measured half the "
+                "padded path's bandwidth with no remaining niche; use "
+                "'auto', 'padded' or 'dense'."
+            )
+        if layout not in ("auto", "padded", "dense"):
+            raise ValueError(
+                f"layout must be one of ['auto', 'dense', 'padded'],"
                 f" got {layout!r}"
             )
         self.dtype = np.dtype(dtype)
@@ -88,18 +99,19 @@ class MatrixNaiveSparse(MatrixNaiveBase):
         self._csc = mat.astype(self.dtype)
 
         csr = self._csc.tocsr()
-        nnz = max(self._csc.nnz, 1)
         Lc = int(np.diff(self._csc.indptr).max()) if self._cols else 0
         Lr = int(np.diff(csr.indptr).max()) if self._rows else 0
-        blowup = max(self._cols * Lc, self._rows * Lr) / nnz
         if layout == "auto":
-            density = nnz / max(self._rows * self._cols, 1)
+            density = self._csc.nnz / max(self._rows * self._cols, 1)
             dense_bytes = self._rows * self._cols * self.dtype.itemsize
-            if density >= _DENSE_DENSITY_MIN and \
-                    dense_bytes <= _DENSE_BYTES_MAX:
+            padded_bytes = (self._cols * Lc + self._rows * Lr) * \
+                (self.dtype.itemsize + 4)
+            if dense_bytes <= _DENSE_BYTES_MAX and (
+                    density >= _DENSE_DENSITY_MIN
+                    or padded_bytes >= dense_bytes):
                 layout = "dense"
             else:
-                layout = "padded" if blowup <= _PAD_BLOWUP_MAX else "bcoo"
+                layout = "padded"
         self.layout = layout
 
         if layout == "dense":
@@ -119,12 +131,7 @@ class MatrixNaiveSparse(MatrixNaiveBase):
             self._rvals = jnp.asarray(rvals)
             self._ridx = jnp.asarray(ridx)
         else:
-            coo = mat.tocoo()
-            ij = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
-            self._bcoo = jsparse.BCOO(
-                (jnp.asarray(coo.data, self.dtype), jnp.asarray(ij)),
-                shape=(self._rows, self._cols),
-            )
+            raise AssertionError(layout)
 
     def structure_key(self):
         key = (type(self).__name__, self._rows, self._cols, self.layout,
@@ -144,18 +151,14 @@ class MatrixNaiveSparse(MatrixNaiveBase):
                                   precision=_PRECISION)
 
             return f, {"mat": self._dense}
-        if self.layout == "padded":
-            def f(data, v, w):
-                u = v * w
-                g = jnp.take(u, data["cidx"], axis=0)  # (p, L) gather
-                return jnp.sum(data["cvals"] * g, axis=1)
-
-            return f, {"cvals": self._cvals, "cidx": self._cidx}
+        assert self.layout == "padded"
 
         def f(data, v, w):
-            return data["mat"].T @ (v * w)
+            u = v * w
+            g = jnp.take(u, data["cidx"], axis=0)  # (p, L) gather
+            return jnp.sum(data["cvals"] * g, axis=1)
 
-        return f, {"mat": self._bcoo}
+        return f, {"cvals": self._cvals, "cidx": self._cidx}
 
     def gather(self, indices):
         idx = np.asarray(indices, np.int64)
@@ -166,10 +169,9 @@ class MatrixNaiveSparse(MatrixNaiveBase):
         beta = jnp.asarray(beta, self.dtype)
         if self.layout == "dense":
             return jnp.matmul(self._dense, beta, precision=_PRECISION)
-        if self.layout == "padded":
-            g = jnp.take(beta, self._ridx, axis=0)  # (n, Lr)
-            return jnp.sum(self._rvals * g, axis=1)
-        return self._bcoo @ beta
+        assert self.layout == "padded"
+        g = jnp.take(beta, self._ridx, axis=0)  # (n, Lr)
+        return jnp.sum(self._rvals * g, axis=1)
 
     def sq_mul(self, w):
         w = jnp.asarray(w)

