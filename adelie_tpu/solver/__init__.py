@@ -72,6 +72,15 @@ def grpnet(
     Minimizes  ell(eta) + lmda * sum_g w_g (alpha ||b_g||_2 +
     (1-alpha)/2 ||b_g||_2^2)  with  eta = X b + b0 1 + offsets,
     over a decreasing lambda path with BASIL screening.
+
+    ``screen_cap_active_mult`` (TPU extension, default None = reference
+    pivot-rule behavior): cap each screen call's SPECULATIVE admissions
+    at this multiple of the active-ish count.  On LD/correlated designs
+    the pivot rule can admit thousands of near-duplicate groups (EUR
+    surrogate: 10,268 screened for 278 actives) and fit cost is O(S^2);
+    with the cap the same path fits a ~3x smaller screen set, still
+    KKT-certified (true violators are always force-admitted on retry).
+    ``3.0`` is the measured sweet spot for GWAS-like LD designs.
     """
     screen_rule = types.screen_rule(screen_rule)
     X = _as_matrix(X)
