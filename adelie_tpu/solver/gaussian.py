@@ -119,6 +119,7 @@ class GaussianNaiveDriver:
         s.resid_sum = float(rs_h)
         s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
         s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+        s.prune_inactive_zeros()
         s.rsq = float(rsq_h)
         s.abs_grad = np.asarray(ag_h)
         self._last_kkt = bool(kkt_h)
@@ -258,6 +259,7 @@ class GaussianNaiveDriver:
         if n_proc:
             s.screen_beta = np.asarray(beta_h)[: cache.S_val].copy()
             s.screen_is_active = np.asarray(active_h)[: len(s.screen_set)].copy()
+            s.prune_inactive_zeros()
             s.resid = resid_f
             s.rsq = float(rsq_h)
             s.resid_sum = float(rsums_np[n_proc - 1]) if n_proc else s.resid_sum

@@ -423,6 +423,26 @@ class NaiveStateBase:
     def screen_hash(self):
         return set(int(i) for i in self.screen_set)
 
+    def prune_inactive_zeros(self):
+        """Drop all-zero groups from the sticky active set (r5).
+
+        ``screen_is_active`` only ever grows during fits: a group that
+        moved once stays active forever, and on LD designs the active
+        sweeps end up iterating thousands of slots whose coefficients
+        have long returned to zero.  The active set is a performance
+        hint, not correctness state — the pin solve's full sweeps and
+        the BASIL KKT pass re-admit any group that should move — so
+        zero groups are pruned at (host-side) chunk boundaries.
+        """
+        if self.screen_is_active is None or not len(self.screen_set):
+            return
+        act = self.screen_is_active
+        for i in np.flatnonzero(act):
+            b = self.screen_begins[i]
+            q = self.group_sizes[self.screen_set[i]]
+            if not np.any(self.screen_beta[b:b + q]):
+                act[i] = False
+
     def extend_screen_set(self, new_groups):
         if len(new_groups) == 0:
             return
