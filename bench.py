@@ -647,10 +647,21 @@ def _gwas_bench():
     updates = int(np.sum(st.benchmark.get("cd_updates", [])))
     # deployment cold start: a fresh process against the now-warm
     # persistent cache (compiles were serialized by the fits above);
-    # cap adapts to the remaining bench budget
-    probe = _run_isolated(
-        "_gwas_first_fit_probe",
-        timeout_s=int(max(120, min(600, _remaining() - 120))))
+    # cap adapts to the remaining bench budget.  The probe re-uploads
+    # the 2.5 GB packed matrix — on a degraded tunnel that alone can
+    # blow any sane cap, so estimate it first and skip EXPLICITLY
+    # rather than reporting an attributable-to-nothing timeout (r5;
+    # the r5 in-round capture lost the probe to exactly this).
+    cap = int(max(120, min(600, _remaining() - 120)))
+    stamp = _transport_stamp()
+    est_upload_s = (p * nb / 1e9) / max(stamp.get("h2d_gbps", 0.5), 1e-3)
+    if est_upload_s + 90 > cap:
+        probe = {"skipped": (
+            f"transport {stamp.get('h2d_gbps', '?')} GB/s: est "
+            f"{est_upload_s:.0f}s matrix upload + ~90s init/fit > "
+            f"{cap}s cap"), "transport_stamp": stamp}
+    else:
+        probe = _run_isolated("_gwas_first_fit_probe", timeout_s=cap)
     out = {
         "n": n, "p": p, "packed_gb": round(p * nb / 1e9, 2),
         "lambdas": len(st.lmdas),
@@ -663,6 +674,8 @@ def _gwas_bench():
     if "first_fit_s" in probe:
         out["fresh_process_first_fit_s"] = probe["first_fit_s"]
         out["fresh_process_breakdown"] = probe
+    elif "skipped" in probe:
+        out["fresh_process_first_fit_skipped"] = probe
     else:
         out["fresh_process_first_fit_error"] = probe.get("error", str(probe))
     return out
