@@ -47,7 +47,14 @@ def _get_lib():
             os.path.getmtime(path) < os.path.getmtime(src)
         ):
             _build_lib()
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # a wheel built on another platform can ship a foreign .so
+            # (invalid ELF header / wrong arch): rebuild from the bundled
+            # source for THIS machine and retry once
+            _build_lib()
+            lib = ctypes.CDLL(path)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         f64p = ctypes.POINTER(ctypes.c_double)
         i8p = ctypes.POINTER(ctypes.c_int8)

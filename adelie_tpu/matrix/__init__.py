@@ -183,8 +183,11 @@ def sparse(mat, *, method: str = "naive", n_threads: int = 1, dtype=None,
     matrix/_sparse.py.  Padded CSC/CSR planes turn both products into one
     vectorized gather + lane reduction (no scatters); auto DENSIFIES
     above the measured ~0.2% density crossover when the dense array fits
-    ~2 GB (dense MXU matvecs stream ~750x faster than TPU gathers), and
-    falls back to BCOO when nnz skew makes padding blow up storage.
+    ~2 GB (dense MXU matvecs stream ~750x faster than TPU gathers); below
+    it builds padded planes, unless nnz skew makes them larger than the
+    (cap-respecting) dense array — then dense wins on both axes.  The
+    BCOO fallback was removed in r5 (half the padded bandwidth, no
+    remaining niche; layout='bcoo' raises).
     """
     from ._sparse import MatrixCovSparse, MatrixNaiveSparse
 

@@ -111,6 +111,21 @@ class MatrixNaiveSparse(MatrixNaiveBase):
                     or padded_bytes >= dense_bytes):
                 layout = "dense"
             else:
+                if padded_bytes > max(_DENSE_BYTES_MAX, 2 * dense_bytes):
+                    # nnz skew blows the padded planes past BOTH the
+                    # device budget and the (too-big-to-build) dense
+                    # array — since the compact BCOO fallback was
+                    # removed (measured loser, r5), refuse loudly
+                    # instead of silently allocating an OOM-sized plane
+                    raise ValueError(
+                        f"sparse auto-layout: padded planes would be "
+                        f"{padded_bytes / 1e9:.1f} GB (max column nnz "
+                        f"{Lc}, max row nnz {Lr}) and the dense array "
+                        f"{dense_bytes / 1e9:.1f} GB. Split the matrix "
+                        f"(matrix.concatenate of column blocks), densify "
+                        f"the skewed columns separately, or pass "
+                        f"layout='padded' explicitly to override."
+                    )
                 layout = "padded"
         self.layout = layout
 

@@ -88,14 +88,32 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
     G = len(abs_grad)
     screen_hash = state.screen_hash
     old_size = len(state.screen_set)
+    # active-set pruning (state_core.prune_inactive_zeros) can make the
+    # caller's active-size delta negative; clamp so the pivot-slack and
+    # cap arithmetic below see the reference's n_new_active >= 0 domain
+    n_new_active = max(0, n_new_active)
     new = []
+    new_set = set()
+
+    def admit(i):
+        new.append(i)
+        new_set.add(i)
+
+    def spec_cap_now():
+        """Per-call speculative-admission cap (None mult = uncapped)."""
+        if state.screen_cap_active_mult is None:
+            return G
+        n_active = int(np.sum(state.screen_is_active)) \
+            if state.screen_is_active is not None else 0
+        return int(state.screen_cap_active_mult
+                   * max(n_active + n_new_active, 16))
 
     if state.screen_rule == "strong":
         strong_lmda = (2 * lmda_next - min(lmda, 1e300)) * alpha
         thresh = strong_lmda * penalty
         for i in np.nonzero(abs_grad > thresh)[0]:
             if int(i) not in screen_hash:
-                new.append(int(i))
+                admit(int(i))
     elif state.screen_rule == "pivot":
         if chunk_size > 1:
             # extrapolate the slack over the chunk length, but cap the
@@ -134,18 +152,13 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
             # control: true KKT violators are force-admitted on retry below
             # (a cap here cannot starve them), so correctness/termination
             # are unchanged — at worst the path pays extra KKT retries.
-            cap = G
-            if state.screen_cap_active_mult is not None:
-                n_active = int(np.sum(state.screen_is_active)) \
-                    if state.screen_is_active is not None else 0
-                cap = int(state.screen_cap_active_mult
-                          * max(n_active + n_new_active, 16))
+            cap = spec_cap_now()
             for ii in range(G - 1, full_pivot_idx - 1, -1):
                 if len(new) >= cap:
                     break
                 i = int(order[ii])
                 if i not in screen_hash:
-                    new.append(i)
+                    admit(i)
             count = 0
             for ii in range(full_pivot_idx - 1, -1, -1):
                 if count >= state.pivot_slack_ratio * n_new_active \
@@ -154,17 +167,22 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
                 i = int(order[ii])
                 if i in screen_hash:
                     continue
-                new.append(i)
+                admit(i)
                 count += 1
         if not all_kkt_passed:
-            # force-admit every violator at the failing lambda: with the
-            # speculative cap above, the clipped weights tie at alpha*lmda
-            # and a capped top-weight pass could otherwise exclude the same
-            # violator forever (retry livelock)
-            for i in np.nonzero(
-                    abs_grad > lmda_fallback * penalty * alpha)[0]:
-                if int(i) not in screen_hash and int(i) not in new:
-                    new.append(int(i))
+            if state.screen_cap_active_mult is not None:
+                # force-admit every violator at the failing lambda, but
+                # ONLY under the cap: a capped top-weight pass could
+                # otherwise exclude the same violator forever (weights
+                # tie at alpha*lmda -> retry livelock).  With the cap
+                # off this loop must NOT run — grpnet documents
+                # screen_cap_active_mult=None as exact reference
+                # pivot-rule behavior (strong-midpoint union + empty-set
+                # fallback below, which already guarantee progress).
+                for i in np.nonzero(
+                        abs_grad > lmda_fallback * penalty * alpha)[0]:
+                    if int(i) not in screen_hash and int(i) not in new_set:
+                        admit(int(i))
             if chunk_size > 1:
                 # chunk retry: union in the strong-rule set at the geometric
                 # midpoint of the failing chunk — covers several more lambdas
@@ -177,24 +195,19 @@ def screen(state, lmda_next, all_kkt_passed, n_new_active,
                 cand = np.nonzero(abs_grad > thresh)[0]
                 if state.screen_cap_active_mult is not None:
                     cand = cand[np.argsort(-abs_grad[cand], kind="stable")]
-                    n_active = int(np.sum(state.screen_is_active)) \
-                        if state.screen_is_active is not None else 0
-                    spec_cap = int(state.screen_cap_active_mult
-                                   * max(n_active + n_new_active, 16))
-                else:
-                    spec_cap = G
+                spec_cap = spec_cap_now()
                 n_spec = 0
                 for i in cand:
                     if n_spec >= spec_cap:
                         break
-                    if int(i) not in screen_hash and int(i) not in new:
-                        new.append(int(i))
+                    if int(i) not in screen_hash and int(i) not in new_set:
+                        admit(int(i))
                         n_spec += 1
             if len(new) == 0:
                 # safe fallback: add all KKT violators (reference :366-373)
                 for i in np.nonzero(abs_grad > lmda_fallback * penalty * alpha)[0]:
                     if int(i) not in screen_hash:
-                        new.append(int(i))
+                        admit(int(i))
     else:
         raise SolverError(f"Unknown screen rule: {state.screen_rule}")
 

@@ -655,13 +655,16 @@ def _gwas_bench():
     cap = int(max(120, min(600, _remaining() - 120)))
     stamp = _transport_stamp()
     est_upload_s = (p * nb / 1e9) / max(stamp.get("h2d_gbps", 0.5), 1e-3)
-    if est_upload_s + 90 > cap:
+    room = _remaining() - 120       # leave the parent margin to emit
+    if est_upload_s + 90 > cap or room < 120:
         probe = {"skipped": (
             f"transport {stamp.get('h2d_gbps', '?')} GB/s: est "
-            f"{est_upload_s:.0f}s matrix upload + ~90s init/fit > "
-            f"{cap}s cap"), "transport_stamp": stamp}
+            f"{est_upload_s:.0f}s matrix upload + ~90s init/fit vs "
+            f"{cap}s cap / {room:.0f}s budget room"),
+            "transport_stamp": stamp}
     else:
-        probe = _run_isolated("_gwas_first_fit_probe", timeout_s=cap)
+        probe = _run_isolated("_gwas_first_fit_probe",
+                              timeout_s=int(min(cap, room)))
     out = {
         "n": n, "p": p, "packed_gb": round(p * nb / 1e9, 2),
         "lambdas": len(st.lmdas),

@@ -135,9 +135,9 @@ def bench_gram():
 
 
 def bench_sparse():
-    """Sparse gradient/product: padded gather planes vs BCOO scatter
-    lowering vs the dense roofline (VERDICT r2: sparse TPU perf was never
-    measured; reference sparse kernels matrix/utils.hpp:362-1015)."""
+    """Sparse gradient/product: padded gather planes vs the dense
+    roofline (BCOO removed in r5 — see matrix/_sparse.py; reference
+    sparse kernels matrix/utils.hpp:362-1015)."""
     import scipy.sparse as sp
     from adelie_tpu import matrix as mx
 

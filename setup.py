@@ -11,6 +11,18 @@ from pathlib import Path
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
+
+
+class BinaryDistribution(Distribution):
+    """Force a platform-tagged wheel: the package ships a host-compiled
+    _snpio.so (no declared ext_modules, so setuptools would otherwise tag
+    the wheel py3-none-any and pip would install a linux .so anywhere;
+    io.py rebuilds from source if the shipped one fails to load, but the
+    honest tag prevents the mismatch in the first place)."""
+
+    def has_ext_modules(self):
+        return True
 
 
 class BuildWithCodec(build_py):
@@ -29,4 +41,5 @@ class BuildWithCodec(build_py):
                 pass  # lazily built at runtime instead
 
 
-setup(cmdclass={"build_py": BuildWithCodec})
+setup(cmdclass={"build_py": BuildWithCodec},
+      distclass=BinaryDistribution)
