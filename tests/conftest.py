@@ -30,7 +30,16 @@ if os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
     # also stop the package import from re-enabling its production cache
     os.environ["ADELIE_TPU_NO_CACHE"] = "1"
 else:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_adelie_tpu")
+    # A SUITE-PRIVATE cache dir (r5): the old shared /tmp/jax_cache_adelie_tpu
+    # was poisoned by ad-hoc scripts that set jax_compilation_cache_dir
+    # without jax_persistent_cache_enable_xla_caches="none" — their entries
+    # embed host-CPU-feature-pinned XLA:CPU AOT blobs whose DESERIALIZATION
+    # segfaults (this was the "flaky mid-suite segfault" of rounds 3-5:
+    # crash stack ends in compilation_cache.get_executable_and_time).
+    # A private dir only ever written under the settings below cannot
+    # contain such entries.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_adelie_tpu_suite")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     # keep XLA:CPU AOT blobs (which pin host CPU feature flags and log
     # SIGILL warnings on reload) out of the cache — the HLO entry is the win
