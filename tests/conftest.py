@@ -21,13 +21,17 @@ import jax  # noqa: E402
 # backend has been initialized yet
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the suite is compile-bound (many bucketed
-# shapes).  ADELIE_TPU_TEST_NO_CACHE=1 disables it — full-suite runs have
-# segfaulted inside the cache's executable (de)serialization on the
-# 8-device SPMD grpnet program (see ROUND_NOTES round 3); set it when
-# chasing crashes to rule the cache layer out.
-if os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
-    # also stop the package import from re-enabling its production cache
+# persistent compile cache: OPT-IN for the suite (r5,
+# ADELIE_TPU_TEST_CACHE=1).  XLA:CPU executable (de)serialization
+# segfaults nondeterministically on the big 8-device SPMD programs —
+# observed on WRITE (put_executable_and_time) even into a freshly
+# created cache dir, and on READ of entries written without
+# enable_xla_caches="none" (host-feature-pinned AOT blobs).  A
+# stable-by-default suite matters more than cross-process compile
+# reuse; CI additionally retries a shard that dies on a signal.
+if not os.environ.get("ADELIE_TPU_TEST_CACHE"):
+    # also stop the package import from enabling its production cache
+    # inside test processes
     os.environ["ADELIE_TPU_NO_CACHE"] = "1"
 else:
     # A SUITE-PRIVATE cache dir (r5): the old shared /tmp/jax_cache_adelie_tpu
