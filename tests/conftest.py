@@ -21,15 +21,16 @@ import jax  # noqa: E402
 # backend has been initialized yet
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: OPT-IN for the suite (r5,
-# ADELIE_TPU_TEST_CACHE=1).  XLA:CPU executable (de)serialization
-# segfaults nondeterministically on the big 8-device SPMD programs —
-# observed on WRITE (put_executable_and_time) even into a freshly
-# created cache dir, and on READ of entries written without
-# enable_xla_caches="none" (host-feature-pinned AOT blobs).  A
-# stable-by-default suite matters more than cross-process compile
-# reuse; CI additionally retries a shard that dies on a signal.
-if not os.environ.get("ADELIE_TPU_TEST_CACHE"):
+# Persistent compile cache: ON by default in a SUITE-PRIVATE dir.
+# XLA:CPU compile AND executable (de)serialization segfault
+# stochastically on the big 8-device SPMD programs, with probability
+# growing in the number of live compiles a process performs (r5
+# measured: 4/4 no-cache shard-3 attempts crashed; warm-cache attempts
+# mostly pass).  The cache makes tests/run_all.py's crash-retries
+# CONVERGE: everything compiled before a crash is served from disk on
+# the retry, so each attempt faces strictly less compile volume.
+# ADELIE_TPU_TEST_NO_CACHE=1 opts out (e.g. when chasing cache bugs).
+if os.environ.get("ADELIE_TPU_TEST_NO_CACHE"):
     # also stop the package import from enabling its production cache
     # inside test processes
     os.environ["ADELIE_TPU_NO_CACHE"] = "1"
